@@ -1,0 +1,74 @@
+"""Render configuration (replaces the reference's lazy_static CONFIGS +
+scattered hard-coded constants, main.rs:26-47).
+
+Every constant the reference buries at a point of use becomes an explicit
+field here, with the reference's value as the default:
+- width/height 800x800, aspect 1.0          main.rs:34-35,45
+- samples per pixel 256                      camera.rs:73
+- max bounce depth 50                        photon_mapper.rs:334
+- SPPM: 50 iters x 500k photons, alpha 0.7,
+  kNN init 100 (global) / 50 (caustic)       photon_mapper.rs:17-19,148-149
+- camera-ray epsilon 0.001 / photon 0.0001   photon_mapper.rs:285,242
+
+The reference's compile-time CI sniff (option_env!("CI"), main.rs:22-24)
+becomes the explicit ``ci_preset()`` constructor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SPPMConfig:
+    """SPPM integrator knobs. photon_mapper.rs:17-19,148-149."""
+    n_iterations: int = 50
+    photons_per_iter: int = 500_000
+    alpha: float = 0.7
+    k_global: int = 100          # GLOBAL_INIT_PHOTONS (kNN radius init)
+    k_caustic: int = 50          # CAUSTIC_INIT_PHOTONS
+    max_photon_bounces: int = 16  # reference loop is RR-terminated/unbounded
+    max_camera_bounces: int = 50  # specular-walk cap, photon_mapper.rs:334
+    # Uniform-grid photon map (TPU replacement for the kd-tree):
+    grid_table_size: int = 1 << 20   # hashed cell table entries
+    max_photons_per_cell: int = 64   # gather cap per neighbor cell
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level render settings (reference defaults)."""
+    width: int = 800
+    height: int = 800
+    samples_per_pixel: int = 256
+    max_depth: int = 50
+    # Batching: rays processed per device step = width*height*spp_chunk is
+    # capped by splitting spp into chunks of this size.
+    spp_chunk: int = 4
+    seed: int = 0
+    # Self-intersection epsilons. The reference uses absolute 1e-3 (camera,
+    # photon_mapper.rs:285) / 1e-4 (photons, photon_mapper.rs:242) in f64;
+    # in f32 at Cornell scale (~555 units) we additionally offset spawn
+    # points along the normal by rel_eps * scene_scale.
+    t_min: float = 1e-3
+    spawn_eps_rel: float = 1e-4
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sppm: SPPMConfig = dataclasses.field(default_factory=SPPMConfig)
+    # Intersection strategy: "auto" picks brute force for small scenes and
+    # BVH traversal for large ones (threshold below).
+    intersector: str = "auto"
+    bvh_threshold: int = 4096
+    output: str = "output/test.png"
+    dtype: str = "float32"
+
+    @staticmethod
+    def ci_preset() -> "RenderConfig":
+        """Small render for CI (replaces main.rs:42's thread-count shrink —
+        on TPU the honest CI reduction is workload size, not parallelism)."""
+        return RenderConfig(
+            width=200, height=200, samples_per_pixel=16, max_depth=16,
+            sppm=SPPMConfig(n_iterations=2, photons_per_iter=20_000),
+        )
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
