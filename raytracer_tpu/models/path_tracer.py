@@ -1,0 +1,131 @@
+"""Wavefront path tracer — the framework's flagship integrator.
+
+The reference's per-pixel recursive walk (photon_mapper.rs:326-365, depth cap
+50) becomes a batched ``lax.while_loop`` over a dense ray wavefront: every
+live lane advances one bounce per iteration, dead lanes are masked (on a
+lockstep vector machine masking is free; compaction would force dynamic
+shapes). Radiance/throughput are per-lane registers.
+
+Semantics:
+- emission is accumulated at EVERY hit (radiance += throughput * Le), the
+  reference's behavior at photon_mapper.rs:341;
+- Reflect/Refract/Specular multiply throughput by the scatter attenuation
+  and continue (photon_mapper.rs:353-357);
+- Diffuse: in "pt" mode the walk continues (standard path tracing — used
+  for the data/*.json scenes the reference ships but cannot load); in SPPM
+  mode the walk is terminated by the caller (see models/sppm.py);
+- Absorb/miss kills the lane; background is black (the reference adds
+  nothing on miss — its loop just ends).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.models.camera import camera_rays
+from raytracer_tpu.ops import materials as mat_ops
+from raytracer_tpu.ops import vec
+from raytracer_tpu.ops.intersect import hit_attributes
+from raytracer_tpu.ops.dispatch import intersect_scene
+from raytracer_tpu.scene.types import INTER_ABSORB, INTER_DIFFUSE, Scene
+from raytracer_tpu.utils.config import RenderConfig
+
+
+class TraceResult(NamedTuple):
+    radiance: jnp.ndarray    # (N, 3)
+    rays_traced: jnp.ndarray  # () total executed ray-bounce intersections
+
+
+def spawn_origin(p, normal, new_dir, eps):
+    """Offset the next ray origin along the geometric normal to avoid f32
+    self-intersection (the reference leans on f64 + t_min=1e-3 instead;
+    see SURVEY.md §7 hard-part 4)."""
+    side = jnp.sign(vec.dot(new_dir, normal))
+    return p + normal * (eps * side)[:, None]
+
+
+def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
+                   spawn_eps, intersector: str = "auto") -> TraceResult:
+    """Trace a wavefront of rays to completion; returns per-ray radiance."""
+    n = o.shape[0]
+
+    class S(NamedTuple):
+        bounce: jnp.ndarray
+        o: jnp.ndarray
+        d: jnp.ndarray
+        throughput: jnp.ndarray
+        radiance: jnp.ndarray
+        alive: jnp.ndarray
+        rays: jnp.ndarray
+
+    def cond(s: S):
+        return (s.bounce < max_depth) & jnp.any(s.alive)
+
+    def body(s: S):
+        k = jax.random.fold_in(key, s.bounce)
+        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
+        attrs = hit_attributes(scene, s.o, s.d, hit)
+        sc = mat_ops.scatter(scene, k, s.d, attrs)
+
+        live = s.alive & attrs.valid
+        radiance = s.radiance + jnp.where(
+            live[:, None], s.throughput * sc.emitted, 0.0)
+
+        cont = live & (sc.interaction != INTER_ABSORB)
+        throughput = jnp.where(cont[:, None],
+                               s.throughput * sc.attenuation, s.throughput)
+        new_o = spawn_origin(attrs.p, attrs.normal, sc.direction, spawn_eps)
+        o2 = jnp.where(cont[:, None], new_o, s.o)
+        d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        return S(s.bounce + 1, o2, d2, throughput, radiance, cont,
+                 s.rays + jnp.sum(s.alive))
+
+    init = S(jnp.int32(0), o, d,
+             jnp.ones((n, 3), o.dtype), jnp.zeros((n, 3), o.dtype),
+             jnp.ones((n,), bool), jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, init)
+    return TraceResult(out.radiance, out.rays)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "spp", "spp_chunk", "max_depth", "intersector"))
+def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
+              spp_chunk: int, max_depth: int, t_min: float,
+              spawn_eps_rel: float, intersector: str = "auto"):
+    """Render the full image: fori_loop over sample chunks, each chunk a
+    (H*W*spp_chunk)-ray wavefront. Returns ((H,W,3) linear image, rays)."""
+    npix = width * height
+    n_chunks = -(-spp // spp_chunk)
+    pixel_ids = jnp.broadcast_to(
+        jnp.arange(npix, dtype=jnp.int32)[None, :], (spp_chunk, npix)).reshape(-1)
+    spawn_eps = spawn_eps_rel * scene.scale
+
+    def chunk(i, carry):
+        accum, rays = carry
+        k_cam = jax.random.fold_in(jax.random.fold_in(key, 7), i)
+        k_trace = jax.random.fold_in(jax.random.fold_in(key, 11), i)
+        o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
+        res = trace_radiance(
+            scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
+            spawn_eps=spawn_eps, intersector=intersector)
+        rad = res.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
+        return accum + rad, rays + res.rays_traced + o.shape[0]
+
+    accum, rays = jax.lax.fori_loop(
+        0, n_chunks, chunk, (jnp.zeros((npix, 3), jnp.float32), jnp.int32(0)))
+    img = accum / (n_chunks * spp_chunk)
+    return img.reshape(height, width, 3), rays
+
+
+def render(scene: Scene, config: RenderConfig, key) -> tuple:
+    """Convenience wrapper: returns ((H,W,3) linear image, ray count)."""
+    spp_chunk = max(1, min(config.spp_chunk, config.samples_per_pixel))
+    return render_fn(
+        scene, key, width=config.width, height=config.height,
+        spp=config.samples_per_pixel, spp_chunk=spp_chunk,
+        max_depth=config.max_depth, t_min=config.t_min,
+        spawn_eps_rel=config.spawn_eps_rel, intersector=config.intersector)

@@ -1,0 +1,82 @@
+"""Built-in scenes.
+
+``cornell_box()`` reproduces the reference's single hard-coded scene
+(scene.rs:16-112) exactly: red/blue/white walls, XZ rect light at y=554 with
+flux (1,1,1) scale 1e6, glass + mirror spheres, the OBJ cube mesh under a
+Transform(scale 50, translate (100,50,100)), and a white box.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from raytracer_tpu.scene.builder import SceneBuilder, trs_matrix
+from raytracer_tpu.utils.obj import load_obj
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "..", "data")
+
+
+def cornell_box(aspect_ratio: float = 1.0, with_mesh: bool = True,
+                data_dir: str = _DATA):
+    """The Cornell-box scene, scene.rs:16-112."""
+    b = SceneBuilder()
+    red = b.lambertian(b.constant_texture((0.75, 0.25, 0.25)))
+    white = b.lambertian(b.constant_texture((0.75, 0.75, 0.75)))
+    blue = b.lambertian(b.constant_texture((0.25, 0.25, 0.75)))
+
+    # Walls (scene.rs:33-69)
+    b.add_yz_rect(0.0, 0.0, 555.0, 555.0, 555.0, red)    # x=555 wall
+    b.add_yz_rect(0.0, 0.0, 555.0, 555.0, 0.0, blue)     # x=0 wall
+    b.add_xz_rect(0.0, 0.0, 555.0, 555.0, 0.0, white)    # floor
+    b.add_xz_rect(0.0, 0.0, 555.0, 555.0, 555.0, white)  # ceiling
+    b.add_xy_rect(0.0, 0.0, 555.0, 555.0, 555.0, white)  # back wall
+
+    # Spheres (scene.rs:70-85)
+    glass = b.dielectric(1.5, b.constant_texture((0.999, 0.999, 0.999)))
+    b.add_sphere((140.0, 100.0, 240.0), 100.0, glass)
+    mirror = b.metal(b.constant_texture((0.999, 0.999, 0.999)), 0.0)
+    b.add_sphere((400.0, 100.0, 360.0), 100.0, mirror)
+
+    # Area light: (213,227)-(343,332) @ y=554, flux (1,1,1), scale 1e6
+    # (scene.rs:26-32); re-added as geometry (scene.rs:86).
+    b.add_xzrect_light(213.0, 227.0, 343.0, 332.0, 554.0,
+                       (1.0, 1.0, 1.0), 1e6, add_geometry=True)
+
+    if with_mesh:
+        # OBJ cube under Transform(rotate 0, scale 50, translate (100,50,100))
+        # (scene.rs:87-92)
+        mesh = load_obj(os.path.join(data_dir, "mesh", "cube.obj"))
+        m = trs_matrix((0.0, 0.0, 0.0), (50.0, 50.0, 50.0), (100.0, 50.0, 100.0))
+        b.add_triangles(mesh.positions, mesh.indices, white,
+                        normals=mesh.normals, transform=m)
+
+    # White box (scene.rs:93-97)
+    b.add_box((300.0, 0.0, 100.0), (380.0, 100.0, 180.0), white)
+
+    # Camera (scene.rs:102-109)
+    b.set_camera(look_from=(278.0, 278.0, -800.0), look_at=(278.0, 278.0, 278.0),
+                 vup=(0.0, 1.0, 0.0), vfov=50.0, aspect_ratio=aspect_ratio,
+                 aperture=0.0, focus_dist=10.0)
+    return b.compile()
+
+
+def three_spheres(aspect_ratio: float = 16.0 / 9.0):
+    """Small book-1-style test scene: ground + lambertian/metal/glass,
+    with a sphere light for PT testability (no reference analog; used by
+    unit tests and quick benchmarks)."""
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    center = b.lambertian(b.constant_texture((0.7, 0.3, 0.3)))
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, center)
+    left = b.dielectric(1.5)
+    b.add_sphere((-1.0, 0.0, -1.0), 0.5, left)
+    right = b.metal(b.constant_texture((0.8, 0.6, 0.2)), 0.1)
+    b.add_sphere((1.0, 0.0, -1.0), 0.5, right)
+    b.add_sphere_light((0.0, 3.0, -1.0), 1.0, (4.0, 4.0, 4.0), 10.0)
+    b.set_camera(look_from=(0.0, 0.5, 1.5), look_at=(0.0, 0.0, -1.0),
+                 vfov=60.0, aspect_ratio=aspect_ratio, aperture=0.0,
+                 focus_dist=2.5)
+    return b.compile()

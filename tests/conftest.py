@@ -1,19 +1,21 @@
 """Test harness: force JAX onto a virtual 8-device CPU mesh.
 
-This must run before the first ``import jax`` anywhere in the test session —
-pytest imports conftest.py first, so setting the env here is sufficient.
-Multi-chip sharding tests (shard_map over a Mesh) run against these 8 fake
-CPU devices; real-TPU behavior is exercised by bench.py under the driver.
+This environment's sitecustomize registers a tunneled TPU platform ("axon")
+and pins JAX_PLATFORMS=axon, so plain env vars are NOT enough — we must both
+extend XLA_FLAGS (before backend init) and override the platform via
+jax.config. Multi-chip sharding tests run against these 8 virtual CPU
+devices; real-TPU behavior is exercised by bench.py.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -21,3 +23,9 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
