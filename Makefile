@@ -1,0 +1,38 @@
+# Build/test/render entry points (role of the reference's Makefile:1-25).
+
+PY ?= python
+
+.PHONY: test lint native render render_ci bench dryrun clean ci
+
+test:
+	$(PY) -m pytest tests/ -q
+
+lint:
+	$(PY) -m compileall -q raytracer_tpu tests bench.py __graft_entry__.py
+
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 \
+	  raytracer_tpu/native/rt_native.cpp \
+	  -o raytracer_tpu/native/librt_native.so -lz
+
+# Full-quality render (the reference's `make run_release` analog)
+render:
+	$(PY) -m raytracer_tpu render --scene cornell --integrator sppm \
+	  --width 800 --height 800 --spp 256 --out output/test.png
+
+# Small CI render: artifact-sized workload, not thread-count games
+render_ci:
+	$(PY) -m raytracer_tpu render --scene cornell --integrator sppm \
+	  --preset ci --out output/ci.png
+
+bench:
+	$(PY) bench.py
+
+dryrun:
+	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+ci: lint test render_ci
+
+clean:
+	rm -rf output .pytest_cache raytracer_tpu/native/librt_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

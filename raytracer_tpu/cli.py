@@ -1,0 +1,138 @@
+"""Command-line driver (replaces main.rs:49-72 + the compile-time CI env
+sniff, main.rs:22-24, with explicit flags).
+
+Usage:
+    python -m raytracer_tpu render --scene cornell --integrator sppm \
+        --width 800 --height 800 --spp 256 --out output/test.png
+    python -m raytracer_tpu render --scene data/scene_500.json \
+        --integrator pt --preset ci
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raytracer_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="render a scene to a PNG")
+    r.add_argument("--scene", default="cornell",
+                   help="'cornell', 'spheres', or a data/*.json|yaml path")
+    r.add_argument("--integrator", choices=["pt", "sppm"], default="pt",
+                   help="path tracer or SPPM (the reference's algorithm)")
+    r.add_argument("--width", type=int, default=800)
+    r.add_argument("--height", type=int, default=800)
+    r.add_argument("--spp", type=int, default=256)
+    r.add_argument("--spp-chunk", type=int, default=4)
+    r.add_argument("--max-depth", type=int, default=50)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--out", default="output/test.png")
+    r.add_argument("--preset", choices=["ci"], default=None,
+                   help="small CI workload (replaces the reference's "
+                        "compile-time CI thread shrink)")
+    r.add_argument("--intersector",
+                   choices=["auto", "pallas", "bruteforce", "bvh"],
+                   default="auto")
+    r.add_argument("--bvh", action="store_true",
+                   help="build a BVH for the scene")
+    r.add_argument("--sharded", action="store_true",
+                   help="shard over all local devices (parallel layer)")
+    # SPPM knobs (reference defaults, photon_mapper.rs:17-19,148-149)
+    r.add_argument("--sppm-iters", type=int, default=50)
+    r.add_argument("--sppm-photons", type=int, default=500_000)
+    r.add_argument("--sppm-alpha", type=float, default=0.7)
+    r.add_argument("--checkpoint", default=None,
+                   help="write SPPM state here after every iteration")
+    r.add_argument("--resume", default=None,
+                   help="resume SPPM from a checkpoint file")
+    r.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace")
+    return p
+
+
+def load_scene_arg(name: str, aspect: float):
+    if name == "cornell":
+        from raytracer_tpu.scene.builtin import cornell_box
+        return cornell_box(aspect_ratio=aspect)
+    if name == "spheres":
+        from raytracer_tpu.scene.builtin import three_spheres
+        return three_spheres(aspect_ratio=aspect)
+    from raytracer_tpu.scene.loader import load_scene
+    return load_scene(name, aspect_ratio=aspect)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+    from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+    from raytracer_tpu.utils.image import save_render
+    from raytracer_tpu.utils.timing import StageTimer, maybe_profile
+
+    timer = StageTimer()
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples_per_pixel=args.spp,
+        spp_chunk=args.spp_chunk, max_depth=args.max_depth, seed=args.seed,
+        intersector=args.intersector, output=args.out,
+        sppm=SPPMConfig(n_iterations=args.sppm_iters,
+                        photons_per_iter=args.sppm_photons,
+                        alpha=args.sppm_alpha))
+    if args.preset == "ci":
+        ci = RenderConfig.ci_preset()
+        cfg = cfg.replace(width=ci.width, height=ci.height,
+                          samples_per_pixel=ci.samples_per_pixel,
+                          max_depth=ci.max_depth, sppm=ci.sppm)
+
+    with timer.stage("Scene build"):
+        scene = load_scene_arg(args.scene, cfg.width / cfg.height)
+        if args.bvh or args.intersector == "bvh":
+            from raytracer_tpu.ops.bvh import build_bvh
+            scene = build_bvh(scene)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    with maybe_profile(args.profile_dir):
+        if args.integrator == "sppm":
+            from raytracer_tpu.models import sppm
+            from raytracer_tpu.utils import checkpoint as ckpt
+            state = None
+            if args.resume:
+                state, _ = ckpt.load_state(args.resume)
+                print(f"resumed from {args.resume} at iteration "
+                      f"{int(state.iteration)}")
+            cb = None
+            if args.checkpoint:
+                cb = lambda s: ckpt.save_state(args.checkpoint, s, cfg.seed)
+            with timer.stage("SPPM"):
+                img, rays, state = sppm.render(scene, cfg, key, state=state,
+                                               checkpoint_cb=cb)
+        else:
+            with timer.stage("RT"):
+                if args.sharded:
+                    from raytracer_tpu.parallel import render as prender
+                    img, rays = prender.render(scene, cfg, key)
+                else:
+                    from raytracer_tpu.models import path_tracer
+                    img, rays = path_tracer.render(scene, cfg, key)
+        img = np.asarray(jax.block_until_ready(img))
+
+    timer.count("traced_rays", int(rays))
+    with timer.stage("Save"):
+        save_render(cfg.output, img)
+    print(timer.summary())
+    print(f"wrote {cfg.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "render":
+        return cmd_render(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,9 +84,13 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         return S(s.bounce + 1, o2, d2, throughput, radiance, cont,
                  s.rays + jnp.sum(s.alive))
 
+    # Derive the initial carry from the ray arrays so that under shard_map
+    # every component carries the same varying-manual-axes type as the loop
+    # outputs (jax>=0.8 VMA check); origins are finite by construction.
     init = S(jnp.int32(0), o, d,
-             jnp.ones((n, 3), o.dtype), jnp.zeros((n, 3), o.dtype),
-             jnp.ones((n,), bool), jnp.int32(0))
+             jnp.ones_like(o), jnp.zeros_like(o),
+             o[:, 0] == o[:, 0],
+             jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
     out = jax.lax.while_loop(cond, body, init)
     return TraceResult(out.radiance, out.rays)
 

@@ -1,0 +1,391 @@
+"""SPPM integrator — the reference's render algorithm, wavefront-style.
+
+Reference structure (photon_mapper.rs): 50 iterations of {photon pass ->
+kd-tree build -> per-pixel measurement update}, then a 256-spp final gather.
+TPU re-design:
+
+- photon pass: one wavefront of ``photons_per_iter`` photons advanced by a
+  ``lax.scan`` over bounce steps with Russian roulette
+  (material.rs:27-45); every surviving Diffuse interaction deposits the
+  photon's *incoming* power (photon_mapper.rs:244-252), and photons whose
+  path was specular-only-so-far also deposit into the caustic set
+  (photon_mapper.rs:249-251);
+- photon maps: sorted uniform grids (ops/photon_grid.py) instead of
+  kd-trees;
+- measurement pass (update_sppm, photon_mapper.rs:277-300): one jittered
+  camera ray per pixel walks the specular chain to its first Diffuse hit;
+  per-pixel {flux, radius^2, photons} stats update with the alpha=0.7
+  radius shrink (photon_mapper.rs:49-63) — pure elementwise math on (npix,)
+  arrays, no locks;
+- final gather (sample_ray, photon_mapper.rs:326-365): standard specular
+  walk accumulating throughput*Le at EVERY hit, and at the first Diffuse
+  hit adds the pixel's caustic+global density estimates
+  flux/(pi r^2 N_total) (photon_mapper.rs:117-119,344-351).
+
+State is a pytree of (npix,) arrays -> checkpointable between iterations
+(SURVEY.md §5.4), and every pass is sharded over pixels/photons by the
+parallel layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.models.camera import camera_rays
+from raytracer_tpu.models.path_tracer import spawn_origin
+from raytracer_tpu.ops import materials as mat_ops
+from raytracer_tpu.ops import photon_grid as pg
+from raytracer_tpu.ops import vec
+from raytracer_tpu.ops.dispatch import intersect_scene
+from raytracer_tpu.ops.intersect import hit_attributes
+from raytracer_tpu.ops.lights import emit_photons
+from raytracer_tpu.scene.types import (
+    INTER_ABSORB, INTER_DIFFUSE, Scene,
+)
+from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+
+PI = 3.141592653589793
+
+
+class SPPMHalf(NamedTuple):
+    """Per-pixel stats for one map (global or caustic). SPPM struct,
+    photon_mapper.rs:33-40."""
+    flux: jnp.ndarray     # (npix, 3)
+    radius2: jnp.ndarray  # (npix,)
+    photons: jnp.ndarray  # (npix,) float (ref uses usize; alpha makes it real)
+
+
+class SPPMState(NamedTuple):
+    glob: SPPMHalf
+    caustic: SPPMHalf
+    iteration: jnp.ndarray  # () int32
+
+
+def init_state(npix: int) -> SPPMState:
+    def half():
+        return SPPMHalf(jnp.zeros((npix, 3), jnp.float32),
+                        jnp.zeros((npix,), jnp.float32),
+                        jnp.zeros((npix,), jnp.float32))
+    return SPPMState(half(), half(), jnp.int32(0))
+
+
+# ------------------------------------------------------------ photon pass
+
+def trace_photon_deposits(scene: Scene, key, n_photons: int, max_bounces: int,
+                          t_min: float, spawn_eps, intersector: str):
+    """Emit + bounce photons; returns flat deposit arrays of length
+    n_photons * max_bounces: (pos, power, norm, valid, caustic)."""
+    ph = emit_photons(scene.lights, key, n_photons)
+
+    class S(NamedTuple):
+        o: jnp.ndarray
+        d: jnp.ndarray
+        power: jnp.ndarray
+        alive: jnp.ndarray
+        has_spec: jnp.ndarray
+        has_diff: jnp.ndarray
+        bounce: jnp.ndarray
+
+    def step(s: S, _):
+        k = jax.random.fold_in(jax.random.fold_in(key, 13), s.bounce)
+        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
+        attrs = hit_attributes(scene, s.o, s.d, hit)
+        sc, new_power = mat_ops.scatter_photon(scene, k, s.d, attrs, s.power)
+
+        live = s.alive & attrs.valid
+        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        # deposit carries the power BEFORE this bounce's renormalization
+        # (photon_mapper.rs:248 pushes `power`, then updates it)
+        deposit = (attrs.p, s.power, attrs.normal, diffuse_now,
+                   diffuse_now & s.has_spec & ~s.has_diff)
+
+        cont = live & (sc.interaction != INTER_ABSORB)
+        specular_now = cont & ~diffuse_now
+        o2 = jnp.where(cont[:, None],
+                       spawn_origin(attrs.p, attrs.normal, sc.direction,
+                                    spawn_eps), s.o)
+        d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        p2 = jnp.where(cont[:, None], new_power, s.power)
+        return S(o2, d2, p2, cont,
+                 s.has_spec | specular_now, s.has_diff | diffuse_now,
+                 s.bounce + 1), deposit
+
+    init = S(ph.origin, ph.dir, ph.power,
+             ph.origin[:, 0] == ph.origin[:, 0],
+             ph.origin[:, 0] != ph.origin[:, 0],
+             ph.origin[:, 0] != ph.origin[:, 0],
+             jnp.int32(0))
+    _, (pos, power, norm, valid, caustic) = jax.lax.scan(
+        step, init, None, length=max_bounces)
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    return flat(pos), flat(power), flat(norm), flat(valid), flat(caustic)
+
+
+# ------------------------------------------------------- measurement pass
+
+class MeasurePoints(NamedTuple):
+    valid: jnp.ndarray   # (npix,)
+    p: jnp.ndarray       # (npix, 3)
+    normal: jnp.ndarray  # (npix, 3)
+    bsdf: jnp.ndarray    # (npix, 3) the point's bsdf color (albedo or 1/pi)
+
+
+def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
+                     t_min, spawn_eps, intersector) -> MeasurePoints:
+    """update_sppm's specular walk to the first Diffuse hit
+    (photon_mapper.rs:277-300). No emission, no throughput."""
+    k_cam, k_walk = jax.random.split(key)
+    o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
+    n = o.shape[0]
+
+    class S(NamedTuple):
+        o: jnp.ndarray
+        d: jnp.ndarray
+        alive: jnp.ndarray
+        bounce: jnp.ndarray
+        out_valid: jnp.ndarray
+        out_p: jnp.ndarray
+        out_n: jnp.ndarray
+        out_bsdf: jnp.ndarray
+
+    def cond(s):
+        return (s.bounce < max_depth) & jnp.any(s.alive)
+
+    def body(s: S):
+        k = jax.random.fold_in(k_walk, s.bounce)
+        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
+        attrs = hit_attributes(scene, s.o, s.d, hit)
+        sc = mat_ops.scatter(scene, k, s.d, attrs)
+        live = s.alive & attrs.valid
+        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        bsdf_color = mat_ops.bsdf(scene, attrs.mat_id, attrs.p, attrs.uv)
+
+        out_valid = s.out_valid | diffuse_now
+        out_p = jnp.where(diffuse_now[:, None], attrs.p, s.out_p)
+        out_n = jnp.where(diffuse_now[:, None], attrs.normal, s.out_n)
+        out_b = jnp.where(diffuse_now[:, None], bsdf_color, s.out_bsdf)
+
+        cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
+        o2 = jnp.where(cont[:, None],
+                       spawn_origin(attrs.p, attrs.normal, sc.direction,
+                                    spawn_eps), s.o)
+        d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        return S(o2, d2, cont, s.bounce + 1, out_valid, out_p, out_n, out_b)
+
+    alive0 = o[:, 0] == o[:, 0]
+    init = S(o, d, alive0, jnp.int32(0), ~alive0,
+             jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n, 3)))
+    out = jax.lax.while_loop(cond, body, init)
+    return MeasurePoints(out.out_valid, out.out_p, out.out_n, out.out_bsdf)
+
+
+# ------------------------------------------------------------ stat update
+
+def _update_half(half: SPPMHalf, pts: MeasurePoints, q: pg.QueryResult,
+                 k_init: float, alpha: float, cap_radius) -> SPPMHalf:
+    """Branchless init-or-update (photon_mapper.rs:49-63). The kNN init is
+    density-based: r0^2 = h^2 * k/m from the count m within the cap radius
+    (see ops/photon_grid.py docstring)."""
+    first = pts.valid & (half.photons == 0.0)
+
+    # ---- init path
+    m_cap = q.count_cap
+    has_any = m_cap > 0.0
+    r0_2 = jnp.where(has_any,
+                     jnp.minimum(cap_radius * cap_radius * k_init
+                                 / jnp.maximum(m_cap, 1.0),
+                                 cap_radius * cap_radius),
+                     0.0)
+    flux0 = (pts.bsdf * q.flux_cap
+             * jnp.minimum(1.0, k_init / jnp.maximum(m_cap, 1.0))[:, None])
+    n0 = jnp.where(has_any, k_init, 0.0)
+
+    # ---- update path (photon_mapper.rs:55-62)
+    m = q.count_r
+    n_new = half.photons + alpha * m
+    frac = n_new / jnp.maximum(half.photons + m, 1.0)
+    r2_new = half.radius2 * frac
+    flux_new = (half.flux + pts.bsdf * q.flux_r) * frac[:, None]
+
+    upd = pts.valid & ~first
+    flux = jnp.where(first[:, None], flux0,
+                     jnp.where(upd[:, None], flux_new, half.flux))
+    radius2 = jnp.where(first, r0_2, jnp.where(upd, r2_new, half.radius2))
+    photons = jnp.where(first, n0, jnp.where(upd, n_new, half.photons))
+    return SPPMHalf(flux, radius2, photons)
+
+
+# -------------------------------------------------------------- iteration
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "n_photons", "max_photon_bounces",
+    "max_camera_bounces", "grid_res", "k_per_cell", "intersector",
+    "query_chunk"))
+def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
+                   n_photons, max_photon_bounces, max_camera_bounces,
+                   grid_res, k_per_cell, alpha, k_global, k_caustic,
+                   t_min, photon_t_min, spawn_eps_rel, intersector="auto",
+                   query_chunk=2048) -> SPPMState:
+    npix = width * height
+    spawn_eps = spawn_eps_rel * scene.scale
+    k_ph, k_meas = jax.random.split(jax.random.fold_in(key, state.iteration))
+
+    # 1. photon pass (the reference runs this single-threaded!
+    #    photon_mapper.rs:234-266 — here it is one dense wavefront)
+    pos, power, norm, valid, caustic = trace_photon_deposits(
+        scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
+        intersector)
+
+    # 2. photon maps (global + caustic)
+    g_grid = pg.build_grid(pos, power, norm, valid,
+                           scene.bounds_min, scene.bounds_max, grid_res)
+    c_grid = pg.build_grid(pos, power, norm, valid & caustic,
+                           scene.bounds_min, scene.bounds_max, grid_res)
+
+    # 3. measurement pass
+    pixel_ids = jnp.arange(npix, dtype=jnp.int32)
+    pts = measurement_pass(scene, k_meas, pixel_ids, width, height,
+                           max_camera_bounces, t_min, spawn_eps, intersector)
+
+    # 4. stat updates; query radius capped at one grid cell
+    extent = jnp.maximum(scene.bounds_max - scene.bounds_min, 1e-6)
+    cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
+    rg = jnp.minimum(jnp.sqrt(jnp.maximum(state.glob.radius2, 0.0)), cap_radius)
+    rg = jnp.where(state.glob.photons > 0, rg, cap_radius)
+    qg = pg.query_grid_chunked(g_grid, grid_res, pts.p, rg, cap_radius,
+                               k_per_cell, query_chunk)
+    glob = _update_half(state.glob, pts, qg, k_global, alpha, cap_radius)
+
+    rc = jnp.minimum(jnp.sqrt(jnp.maximum(state.caustic.radius2, 0.0)), cap_radius)
+    rc = jnp.where(state.caustic.photons > 0, rc, cap_radius)
+    qc = pg.query_grid_chunked(c_grid, grid_res, pts.p, rc, cap_radius,
+                               k_per_cell, query_chunk)
+    caus = _update_half(state.caustic, pts, qc, k_caustic, alpha,
+                        cap_radius)
+
+    return SPPMState(glob, caus, state.iteration + 1)
+
+
+# ----------------------------------------------------------- final gather
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "spp", "spp_chunk", "max_depth", "intersector"))
+def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
+              spp_chunk, max_depth, t_min, spawn_eps_rel, n_total_photons,
+              intersector="auto"):
+    """Final render using the accumulated per-pixel stats (sample_ray,
+    photon_mapper.rs:326-365)."""
+    npix = width * height
+    spawn_eps = spawn_eps_rel * scene.scale
+    inv = 1.0 / jnp.float32(n_total_photons)
+    rad_g = state.glob.flux / (PI * jnp.maximum(state.glob.radius2, 1e-12)[:, None]) * inv
+    rad_c = state.caustic.flux / (PI * jnp.maximum(state.caustic.radius2, 1e-12)[:, None]) * inv
+    rad_g = jnp.where((state.glob.photons > 0)[:, None], rad_g, 0.0)
+    rad_c = jnp.where((state.caustic.photons > 0)[:, None], rad_c, 0.0)
+    est = rad_g + rad_c  # (npix, 3), added at the first diffuse hit
+
+    n_chunks = -(-spp // spp_chunk)
+    pixel_ids = jnp.broadcast_to(
+        jnp.arange(npix, dtype=jnp.int32)[None], (spp_chunk, npix)).reshape(-1)
+    est_rep = jnp.broadcast_to(est[None], (spp_chunk, npix, 3)).reshape(-1, 3)
+
+    def chunk(i, carry):
+        accum, rays = carry
+        k_cam = jax.random.fold_in(jax.random.fold_in(key, 17), i)
+        k_walk = jax.random.fold_in(jax.random.fold_in(key, 19), i)
+        o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
+        n = o.shape[0]
+
+        class S(NamedTuple):
+            o: jnp.ndarray
+            d: jnp.ndarray
+            throughput: jnp.ndarray
+            radiance: jnp.ndarray
+            alive: jnp.ndarray
+            bounce: jnp.ndarray
+            rays: jnp.ndarray
+
+        def cond(s):
+            return (s.bounce < max_depth) & jnp.any(s.alive)
+
+        def body(s: S):
+            k = jax.random.fold_in(k_walk, s.bounce)
+            hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
+            attrs = hit_attributes(scene, s.o, s.d, hit)
+            sc = mat_ops.scatter(scene, k, s.d, attrs)
+            live = s.alive & attrs.valid
+            # Le at every hit (photon_mapper.rs:341)
+            radiance = s.radiance + jnp.where(
+                live[:, None], s.throughput * sc.emitted, 0.0)
+            diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+            # density estimates at the first diffuse hit, then stop
+            radiance = radiance + jnp.where(
+                diffuse_now[:, None], s.throughput * est_rep, 0.0)
+            cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
+            throughput = jnp.where(cont[:, None],
+                                   s.throughput * sc.attenuation,
+                                   s.throughput)
+            o2 = jnp.where(cont[:, None],
+                           spawn_origin(attrs.p, attrs.normal, sc.direction,
+                                        spawn_eps), s.o)
+            d2 = jnp.where(cont[:, None], sc.direction, s.d)
+            return S(o2, d2, throughput, radiance, cont, s.bounce + 1,
+                     s.rays + jnp.sum(s.alive))
+
+        alive0 = o[:, 0] == o[:, 0]
+        init = S(o, d, jnp.ones_like(o), jnp.zeros_like(o), alive0,
+                 jnp.int32(0), jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
+        out = jax.lax.while_loop(cond, body, init)
+        rad = out.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
+        return accum + rad, rays + out.rays + n
+
+    accum, rays = jax.lax.fori_loop(
+        0, n_chunks, chunk, (jnp.zeros((npix, 3), jnp.float32), jnp.int32(0)))
+    img = accum / (n_chunks * spp_chunk)
+    return img.reshape(height, width, 3), rays
+
+
+# -------------------------------------------------------------- top level
+
+def render(scene: Scene, config: RenderConfig, key,
+           state: Optional[SPPMState] = None,
+           checkpoint_cb=None) -> Tuple:
+    """Full SPPM render: iterations + final gather. ``checkpoint_cb(state)``
+    (if given) is called after every iteration with the current state."""
+    sp: SPPMConfig = config.sppm
+    npix = config.width * config.height
+    if state is None:
+        state = init_state(npix)
+    grid_res, _ = pg.choose_grid_resolution(
+        scene.bounds_min, scene.bounds_max, sp.photons_per_iter, sp.k_global)
+
+    start = int(state.iteration)
+    for _ in range(start, sp.n_iterations):
+        state = sppm_iteration(
+            scene, state, key,
+            width=config.width, height=config.height,
+            n_photons=sp.photons_per_iter,
+            max_photon_bounces=sp.max_photon_bounces,
+            max_camera_bounces=sp.max_camera_bounces,
+            grid_res=grid_res, k_per_cell=sp.max_photons_per_cell,
+            alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
+            t_min=config.t_min, photon_t_min=1e-4,
+            spawn_eps_rel=config.spawn_eps_rel,
+            intersector=config.intersector)
+        if checkpoint_cb is not None:
+            checkpoint_cb(state)
+
+    n_total = sp.n_iterations * sp.photons_per_iter
+    img, rays = gather_fn(
+        scene, state, jax.random.fold_in(key, 23),
+        width=config.width, height=config.height,
+        spp=config.samples_per_pixel,
+        spp_chunk=max(1, min(config.spp_chunk, config.samples_per_pixel)),
+        max_depth=config.max_depth, t_min=config.t_min,
+        spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
+        intersector=config.intersector)
+    return img, rays, state

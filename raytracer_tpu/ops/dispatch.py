@@ -1,12 +1,14 @@
 """Intersection strategy dispatch.
 
 ``method``:
-- "bruteforce": linear chunk-scanned reduction over all primitive tables
-  (fastest on TPU for small/medium scenes — wide vector lanes beat pointer
-  chasing up to thousands of primitives);
-- "bvh": flat-BVH traversal (for large triangle meshes);
-- "auto": picks by primitive count at trace time (static shapes, so this is
-  a Python-level choice baked into the jitted program).
+- "pallas": fused VMEM-resident brute-force kernel (the fast path — tables
+  live on-chip, HBM traffic is per-ray only). Default on TPU for scenes
+  whose tables fit comfortably in VMEM; interpret-mode elsewhere;
+- "bruteforce": XLA chunk-scanned linear reduction (portable reference
+  implementation, used for oracles and CPU tests);
+- "bvh": flat-BVH traversal (wins for large triangle meshes);
+- "auto": picks per the rules above at trace time (static shapes — the
+  choice is baked into the jitted program).
 """
 
 from __future__ import annotations
@@ -14,14 +16,22 @@ from __future__ import annotations
 from raytracer_tpu.ops.intersect import Hit, intersect_bruteforce
 from raytracer_tpu.scene.types import Scene
 
-BVH_AUTO_THRESHOLD = 4096
+BVH_AUTO_THRESHOLD = 16384
+PALLAS_MAX_PRIMS = 16384  # tables stay well under the ~16MB VMEM budget
 
 
 def intersect_scene(scene: Scene, o, d, t_min, t_max,
                     method: str = "auto") -> Hit:
     if method == "auto":
-        use_bvh = scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD
-        method = "bvh" if use_bvh else "bruteforce"
+        if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
+            method = "bvh"
+        elif scene.n_primitives <= PALLAS_MAX_PRIMS:
+            method = "pallas"
+        else:
+            method = "bruteforce"
+    if method == "pallas":
+        from raytracer_tpu.ops.pallas_intersect import intersect_pallas
+        return intersect_pallas(scene, o, d, t_min, t_max)
     if method == "bvh":
         if scene.bvh is None:
             raise ValueError("scene has no BVH; build it with ops.bvh.build_bvh")

@@ -92,12 +92,25 @@ def _chunk_scan(tile_fn, tables, n_prims, o, chunk):
 
 def sphere_ts(o, d, center, radius, valid, t_min, t_max):
     """Quadratic sphere hit, half-b form, nearest-root-in-range
-    (sphere.rs:24-55). Returns (N, C) distances, +inf on miss."""
-    oc = o[:, None, :] - center[None]                 # (N, C, 3)
+    (sphere.rs:24-55). Returns (N, C) distances, +inf on miss.
+
+    TPU-native formulation: the per-pair vector work is expanded into two
+    (N,3)x(3,C) matmuls (MXU) plus an elementwise (N,C) chain (VPU) —
+    nothing of shape (N,C,3) is ever materialized, which is what makes this
+    HBM-friendly:  half_b = o.d - c.d,  c_term = |o|^2 - 2 o.c + |c|^2 - r^2.
+    """
+    o_dot_d = vec.dot(o, d)[:, None]                  # (N, 1)
     a = vec.dot(d, d)[:, None]                        # (N, 1)
-    half_b = jnp.sum(oc * d[:, None, :], axis=-1)     # (N, C)
-    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None]
-    disc = half_b * half_b - a * c
+    o_sq = vec.dot(o, o)[:, None]                     # (N, 1)
+    # HIGHEST precision: TPU matmuls default to bf16 passes, which is far
+    # too coarse for intersection geometry (t errors flip hit/miss).
+    hi = jax.lax.Precision.HIGHEST
+    c_dot_d = jnp.matmul(d, center.T, precision=hi)   # (N, C)  MXU
+    o_dot_c = jnp.matmul(o, center.T, precision=hi)   # (N, C)  MXU
+    c_sq = jnp.sum(center * center, axis=-1) - radius * radius  # (C,)
+    half_b = o_dot_d - c_dot_d
+    c_term = o_sq - 2.0 * o_dot_c + c_sq[None]
+    disc = half_b * half_b - a * c_term
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     inv_a = 1.0 / a
     r1 = (-half_b - sqrt_d) * inv_a
@@ -135,13 +148,16 @@ def rect_ts(o, d, axis, k, a0, a1, b0, b1, valid, t_min, t_max):
     a_hot = eye[ax_a]
     b_hot = eye[ax_b]
 
-    d_n = jnp.einsum("nj,cj->nc", d, n_hot)
-    o_n = jnp.einsum("nj,cj->nc", o, n_hot)
+    # All (N,C) quantities come from (N,3)x(3,C) matmuls; the hit point is
+    # never materialized as (N,C,3) — pa = o.a_hot + t * d.a_hot.
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.matmul(x, y, precision=hi)
+    d_n = mm(d, n_hot.T)
+    o_n = mm(o, n_hot.T)
     safe = jnp.abs(d_n) > 1e-12
     t = (k[None] - o_n) / jnp.where(safe, d_n, 1.0)
-    p = o[:, None, :] + t[..., None] * d[:, None, :]   # (N, C, 3)
-    pa = jnp.einsum("ncj,cj->nc", p, a_hot)
-    pb = jnp.einsum("ncj,cj->nc", p, b_hot)
+    pa = mm(o, a_hot.T) + t * mm(d, a_hot.T)
+    pb = mm(o, b_hot.T) + t * mm(d, b_hot.T)
     inb = (pa >= a0[None]) & (pa <= a1[None]) & (pb >= b0[None]) & (pb <= b1[None])
     tmin = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) else t_min
     tmax = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
@@ -164,16 +180,31 @@ def rect_closest(o, d, rects: Rects, t_min, t_max, chunk=512):
 
 def triangle_ts(o, d, v0, e1, e2, valid, t_min, t_max):
     """Möller–Trumbore with the reference's bound checks (mesh.rs:57-98):
-    b1 in [0,1]; b2 >= 0 and b1+b2 <= 1; t in range; div == 0 -> miss."""
-    s0 = jnp.cross(d[:, None, :], e2[None])            # (N, C, 3)
-    div = jnp.sum(s0 * e1[None], axis=-1)              # (N, C)
+    b1 in [0,1]; b2 >= 0 and b1+b2 <= 1; t in range; div == 0 -> miss.
+
+    TPU-native formulation: each MT dot product is a scalar triple product,
+    so with per-triangle precomputed cross products the whole test becomes
+    five (N,3)x(3,C) matmuls + an (N,C) elementwise chain (no (N,C,3)
+    intermediates):
+        div   = (d x e2).e1          = d.(e2 x e1)
+        b1*div = ((o-v0) x d).e2     = (o x d).e2 - d.(e2 x v0)
+        b2*div = d.((o-v0) x e1)     = -(o x d).e1 + d.(e1 x v0)
+        t*div  = (o-v0).(e1 x e2)    = o.n - v0.n,   n = e1 x e2
+    """
+    n_geo = jnp.cross(e1, e2)                          # (C, 3)
+    e2xv0 = jnp.cross(e2, v0)                          # (C, 3)
+    e1xv0 = jnp.cross(e1, v0)                          # (C, 3)
+    v0_n = jnp.sum(v0 * n_geo, axis=-1)                # (C,)
+    oxd = jnp.cross(o, d)                              # (N, 3)
+
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.matmul(x, y, precision=hi)
+    div = -mm(d, n_geo.T)                              # d.(e2 x e1) = -d.n
     safe = div != 0.0
     inv = 1.0 / jnp.where(safe, div, 1.0)
-    dv = o[:, None, :] - v0[None]                      # (N, C, 3)
-    b1 = jnp.sum(dv * s0, axis=-1) * inv
-    s1 = jnp.cross(dv, e1[None])                       # (N, C, 3)
-    b2 = jnp.sum(d[:, None, :] * s1, axis=-1) * inv
-    t = jnp.sum(e2[None] * s1, axis=-1) * inv
+    b1 = (mm(oxd, e2.T) - mm(d, e2xv0.T)) * inv
+    b2 = (-mm(oxd, e1.T) + mm(d, e1xv0.T)) * inv
+    t = (mm(o, n_geo.T) - v0_n[None]) * inv
     tmin = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) else t_min
     tmax = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
     ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)

@@ -1,0 +1,163 @@
+"""Uniform-grid photon map — the TPU replacement for the reference's kd-tree
+(photon_mapper.rs:268-275 builds two `kd_tree::KdTree`s per iteration;
+queries at photon_mapper.rs:85,105).
+
+Design: photons are binned into a dense axis-aligned grid over the scene
+bounds, sorted by linearized cell id, and cell extents are recovered with
+one searchsorted. A fixed-radius query gathers up to K candidates from each
+of the 27 neighbor cells (static shapes; masked) — valid because query radii
+are capped at one cell size, and SPPM radii only *shrink* from their init.
+
+Both query kinds the reference needs are served from one gather:
+- ``estimate_flux_within_radius`` (photon_mapper.rs:102-114): flux and count
+  within the pixel's current radius;
+- the kNN radius *init* (``estimate_flux_by_count``, photon_mapper.rs:82-99)
+  is replaced by a density-based init: count m within the cap radius h gives
+  r0^2 = h^2 * k/m (expected-count-k radius under local uniform density),
+  flux0 = flux_h * min(1, k/m). The SPPM alpha-recursion washes init
+  differences out over iterations.
+
+Photon payload: position, power, surface normal. The reference also stores
+the incident direction and passes it to ``bsdf`` (photon_mapper.rs:95) — but
+every material's bsdf ignores it (material.rs:106,127,158,202), so it is not
+stored. The disk factor |n_ph . unit(p_ph - p)| (photon_mapper.rs:77-79)
+weights each photon by 1 - disk_factor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.ops import vec
+
+
+class PhotonGrid(NamedTuple):
+    pos: jnp.ndarray         # (P, 3) sorted by cell id
+    power: jnp.ndarray       # (P, 3)
+    norm: jnp.ndarray        # (P, 3)
+    cell_start: jnp.ndarray  # (C+1,) int32 prefix offsets
+    bmin: jnp.ndarray        # (3,)
+    inv_cell: jnp.ndarray    # (3,)
+    n_valid: jnp.ndarray     # () int32
+
+
+def _cell_ids(pos, bmin, inv_cell, res: Tuple[int, int, int]):
+    ci = jnp.floor((pos - bmin) * inv_cell).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, jnp.asarray(res, jnp.int32) - 1)
+    return (ci[..., 0] * res[1] + ci[..., 1]) * res[2] + ci[..., 2], ci
+
+
+def build_grid(pos, power, norm, valid, bmin, bmax,
+               res: Tuple[int, int, int]) -> PhotonGrid:
+    """Sort photons by cell. Invalid photons sort past the end (sentinel)."""
+    n_cells = res[0] * res[1] * res[2]
+    extent = jnp.maximum(bmax - bmin, 1e-6)
+    inv_cell = jnp.asarray(res, jnp.float32) / extent
+    cid, _ = _cell_ids(pos, bmin, inv_cell, res)
+    cid = jnp.where(valid, cid, n_cells)  # sentinel: past last cell
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    cell_start = jnp.searchsorted(cid_sorted, jnp.arange(n_cells + 1),
+                                  method="scan_unrolled").astype(jnp.int32)
+    return PhotonGrid(
+        pos=pos[order], power=power[order], norm=norm[order],
+        cell_start=cell_start, bmin=bmin, inv_cell=inv_cell,
+        n_valid=jnp.sum(valid).astype(jnp.int32))
+
+
+class QueryResult(NamedTuple):
+    flux_r: jnp.ndarray    # (N, 3) sum of power*(1-disk) within radius r
+    count_r: jnp.ndarray   # (N,)
+    flux_cap: jnp.ndarray  # (N, 3) same within the cap radius h
+    count_cap: jnp.ndarray  # (N,)
+
+
+def query_grid(grid: PhotonGrid, res: Tuple[int, int, int], points, radius,
+               cap_radius, k_per_cell: int) -> QueryResult:
+    """Dual fixed-radius gather around each point (27 cells, K-capped).
+
+    ``radius`` is per-point (clamped by the caller to <= cap_radius, which
+    must be <= one cell extent). Returns sums for both the per-point radius
+    and the cap radius in a single pass.
+    """
+    n = points.shape[0]
+    n_cells = res[0] * res[1] * res[2]
+    p_total = grid.pos.shape[0]
+    _, ci = _cell_ids(points, grid.bmin, grid.inv_cell, res)
+    r2 = radius * radius
+    cap2 = cap_radius * cap_radius
+
+    flux_r = jnp.zeros((n, 3), jnp.float32)
+    cnt_r = jnp.zeros((n,), jnp.float32)
+    flux_cap = jnp.zeros((n, 3), jnp.float32)
+    cnt_cap = jnp.zeros((n,), jnp.float32)
+
+    res_arr = jnp.asarray(res, jnp.int32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cc = ci + jnp.asarray([dx, dy, dz], jnp.int32)
+                in_grid = jnp.all((cc >= 0) & (cc < res_arr), axis=-1)
+                cid = (cc[:, 0] * res[1] + cc[:, 1]) * res[2] + cc[:, 2]
+                cid = jnp.clip(cid, 0, n_cells - 1)
+                start = grid.cell_start[cid]
+                end = grid.cell_start[cid + 1]
+                idx = start[:, None] + jnp.arange(k_per_cell, dtype=jnp.int32)[None]
+                m = (idx < end[:, None]) & in_grid[:, None]
+                idx = jnp.clip(idx, 0, max(p_total - 1, 0))
+                ppos = grid.pos[idx]                      # (N, K, 3)
+                ppow = grid.power[idx]
+                pnrm = grid.norm[idx]
+                delta = ppos - points[:, None, :]
+                d2 = jnp.sum(delta * delta, axis=-1)
+                disk = jnp.abs(jnp.sum(pnrm * vec.unit(delta), axis=-1))
+                w = (1.0 - disk)[..., None] * ppow        # (N, K, 3)
+                in_r = m & (d2 <= r2[:, None])
+                in_cap = m & (d2 <= cap2)
+                flux_r += jnp.sum(jnp.where(in_r[..., None], w, 0.0), axis=1)
+                cnt_r += jnp.sum(in_r, axis=1)
+                flux_cap += jnp.sum(jnp.where(in_cap[..., None], w, 0.0), axis=1)
+                cnt_cap += jnp.sum(in_cap, axis=1)
+
+    return QueryResult(flux_r, cnt_r, flux_cap, cnt_cap)
+
+
+def query_grid_chunked(grid: PhotonGrid, res, points, radius, cap_radius,
+                       k_per_cell: int, chunk: int = 2048) -> QueryResult:
+    """lax.map over point chunks to bound the (chunk, 27*K) gather memory."""
+    n = points.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
+
+    def pad0(x, fill=0.0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    pts = pad0(points).reshape(n_pad // chunk, chunk, 3)
+    rad = pad0(radius).reshape(n_pad // chunk, chunk)
+
+    def one(args):
+        p, r = args
+        return query_grid(grid, res, p, r, cap_radius, k_per_cell)
+
+    out = jax.lax.map(one, (pts, rad))
+    return QueryResult(*[x.reshape((n_pad,) + x.shape[2:])[:n] for x in out])
+
+
+def choose_grid_resolution(bounds_min, bounds_max, n_photons: int,
+                           k_nearest: int, max_res: int = 64):
+    """Host-side heuristic: cell size ~ the expected kNN init radius
+    r0 = sqrt(k * A / (pi * P)) with A ~ the bbox surface area. Static per
+    render (shapes under jit depend on it)."""
+    import numpy as np
+    bmin = np.asarray(bounds_min, np.float64)
+    bmax = np.asarray(bounds_max, np.float64)
+    ext = np.maximum(bmax - bmin, 1e-6)
+    area = 2.0 * (ext[0] * ext[1] + ext[1] * ext[2] + ext[0] * ext[2])
+    r0 = float(np.sqrt(max(k_nearest, 1) * area / (np.pi * max(n_photons, 1))))
+    res = tuple(int(np.clip(np.ceil(e / max(r0, 1e-6)), 2, max_res))
+                for e in ext)
+    return res, r0

@@ -1,0 +1,75 @@
+"""Pallas closest-hit kernel vs the XLA brute-force oracle (interpret mode
+on CPU; the same kernel compiles natively on TPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.ops import intersect as ix
+from raytracer_tpu.ops.pallas_intersect import intersect_pallas
+from raytracer_tpu.scene import SceneBuilder
+from raytracer_tpu.scene.builtin import cornell_box
+from raytracer_tpu.scene.loader import load_scene
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+def check_agreement(scene, o, d, t_min=1e-3, t_max=jnp.inf):
+    h1 = jax.jit(lambda o, d: ix.intersect_bruteforce(scene, o, d, t_min, t_max))(o, d)
+    h2 = jax.jit(lambda o, d: intersect_pallas(scene, o, d, t_min, t_max))(o, d)
+    t1, t2 = np.asarray(h1.t), np.asarray(h2.t)
+    agree = np.isfinite(t1) == np.isfinite(t2)
+    assert agree.mean() > 0.995, f"hit/miss disagreement {1 - agree.mean():.4f}"
+    both = np.isfinite(t1) & np.isfinite(t2)
+    np.testing.assert_allclose(t1[both], t2[both], rtol=1e-4, atol=1e-3)
+    same_type = np.asarray(h1.prim_type)[both] == np.asarray(h2.prim_type)[both]
+    assert same_type.mean() > 0.99
+
+
+def rays(n, lo, hi, seed):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
+
+
+def test_pallas_spheres_scene500():
+    scene = load_scene(os.path.join(DATA, "scene_500.json"))
+    o, d = rays(512, [-12, -6, -12], [12, 6, 12], 0)
+    check_agreement(scene, o, d)
+
+
+def test_pallas_mixed_cornell():
+    scene = cornell_box(with_mesh=True)
+    o, d = rays(512, [50, 50, -700], [500, 500, 500], 1)
+    check_agreement(scene, o, d)
+
+
+def test_pallas_nonmultiple_ray_count():
+    scene = cornell_box(with_mesh=False)
+    o, d = rays(333, [50, 50, -700], [500, 500, 500], 2)  # not TILE-aligned
+    check_agreement(scene, o, d)
+
+
+def test_pallas_single_type_tables():
+    b = SceneBuilder()
+    m = b.lambertian(b.constant_texture((1, 1, 1)))
+    b.add_sphere((0, 0, -3), 1.0, m)
+    scene = b.compile()  # rects/tris empty -> dummy pad chunks must miss
+    o = jnp.array([[0.0, 0, 0], [0, 5, 0]], jnp.float32)
+    d = jnp.array([[0.0, 0, -1], [0, 1, 0]], jnp.float32)
+    h = intersect_pallas(scene, o, d, 1e-3, jnp.inf)
+    np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-5)
+    assert np.isinf(np.asarray(h.t))[1]
+
+
+def test_pallas_respects_tmax():
+    b = SceneBuilder()
+    m = b.lambertian(b.constant_texture((1, 1, 1)))
+    b.add_sphere((0, 0, -3), 1.0, m)
+    scene = b.compile()
+    o = jnp.array([[0.0, 0, 0]], jnp.float32)
+    d = jnp.array([[0.0, 0, -1]], jnp.float32)
+    h = intersect_pallas(scene, o, d, 1e-3, 1.5)  # hit is at t=2
+    assert np.isinf(np.asarray(h.t))[0]
