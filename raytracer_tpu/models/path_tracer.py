@@ -48,9 +48,28 @@ def spawn_origin(p, normal, new_dir, eps):
     return p + normal * (eps * side)[:, None]
 
 
+def hit_and_attrs(scene: Scene, key, o, d, t_min, intersector: str,
+                  time=None):
+    """Geometry hit + attributes (+ features) + stochastic medium override
+    (one bounce's deterministic-then-volumetric intersection; medium.rs
+    semantics). Returns (attrs, feats-or-None)."""
+    from raytracer_tpu.ops.dispatch import intersect_and_attrs
+    _, attrs, feats = intersect_and_attrs(scene, o, d, t_min, jnp.inf,
+                                          intersector, time=time)
+    if scene.media is not None and scene.media.kind.shape[0]:
+        from raytracer_tpu.ops.media import apply_media
+        attrs = apply_media(scene.media, jax.random.fold_in(key, 29), o, d,
+                            attrs, t_min)
+        feats = None  # medium lanes override mat_id; refetch from tables
+    return attrs, feats
+
+
 def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
-                   spawn_eps, intersector: str = "auto") -> TraceResult:
-    """Trace a wavefront of rays to completion; returns per-ray radiance."""
+                   spawn_eps, intersector: str = "auto",
+                   time=None) -> TraceResult:
+    """Trace a wavefront of rays to completion; returns per-ray radiance.
+    ``time`` (N,) enables motion blur: scattered rays inherit their primary
+    ray's shutter time (book-2 semantics)."""
     n = o.shape[0]
 
     class S(NamedTuple):
@@ -67,9 +86,9 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
 
     def body(s: S):
         k = jax.random.fold_in(key, s.bounce)
-        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
-        attrs = hit_attributes(scene, s.o, s.d, hit)
-        sc = mat_ops.scatter(scene, k, s.d, attrs)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
+                                     time=time)
+        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
 
         live = s.alive & attrs.valid
         radiance = s.radiance + jnp.where(
@@ -113,9 +132,14 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
         k_cam = jax.random.fold_in(jax.random.fold_in(key, 7), i)
         k_trace = jax.random.fold_in(jax.random.fold_in(key, 11), i)
         o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
+        time = None
+        if scene.spheres.motion_marker.shape[0]:
+            cam = scene.camera
+            time = cam.time0 + jax.random.uniform(
+                jax.random.fold_in(k_cam, 31), (o.shape[0],)) * (cam.time1 - cam.time0)
         res = trace_radiance(
             scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
-            spawn_eps=spawn_eps, intersector=intersector)
+            spawn_eps=spawn_eps, intersector=intersector, time=time)
         rad = res.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
         return accum + rad, rays + res.rays_traced + o.shape[0]
 
@@ -126,10 +150,28 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
 
 
 def render(scene: Scene, config: RenderConfig, key) -> tuple:
-    """Convenience wrapper: returns ((H,W,3) linear image, ray count)."""
-    spp_chunk = max(1, min(config.spp_chunk, config.samples_per_pixel))
-    return render_fn(
-        scene, key, width=config.width, height=config.height,
-        spp=config.samples_per_pixel, spp_chunk=spp_chunk,
-        max_depth=config.max_depth, t_min=config.t_min,
-        spawn_eps_rel=config.spawn_eps_rel, intersector=config.intersector)
+    """Convenience wrapper: returns ((H,W,3) linear image, ray count).
+    Splits the sample budget into host-side dispatch batches of
+    ``config.host_spp_batch`` (long single dispatches can trip the device)."""
+    import numpy as np
+    total = config.samples_per_pixel
+    batch = max(1, min(config.host_spp_batch, total))
+    spp_chunk = max(1, min(config.spp_chunk, batch))
+    done = 0
+    accum = None
+    rays_total = 0
+    i = 0
+    while done < total:
+        spp = min(batch, total - done)
+        img, rays = render_fn(
+            scene, jax.random.fold_in(key, 1000 + i), width=config.width,
+            height=config.height, spp=spp, spp_chunk=min(spp_chunk, spp),
+            max_depth=config.max_depth, t_min=config.t_min,
+            spawn_eps_rel=config.spawn_eps_rel,
+            intersector=config.intersector)
+        w = spp / total
+        accum = img * w if accum is None else accum + img * w
+        rays_total += int(rays)
+        done += spp
+        i += 1
+    return accum, rays_total

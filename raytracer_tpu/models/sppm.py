@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.models.camera import camera_rays
-from raytracer_tpu.models.path_tracer import spawn_origin
+from raytracer_tpu.models.path_tracer import hit_and_attrs, spawn_origin
 from raytracer_tpu.ops import materials as mat_ops
 from raytracer_tpu.ops import photon_grid as pg
 from raytracer_tpu.ops import vec
@@ -92,9 +92,9 @@ def trace_photon_deposits(scene: Scene, key, n_photons: int, max_bounces: int,
 
     def step(s: S, _):
         k = jax.random.fold_in(jax.random.fold_in(key, 13), s.bounce)
-        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
-        attrs = hit_attributes(scene, s.o, s.d, hit)
-        sc, new_power = mat_ops.scatter_photon(scene, k, s.d, attrs, s.power)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+        sc, new_power = mat_ops.scatter_photon(scene, k, s.d, attrs, s.power,
+                                               feats)
 
         live = s.alive & attrs.valid
         diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
@@ -157,12 +157,14 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
 
     def body(s: S):
         k = jax.random.fold_in(k_walk, s.bounce)
-        hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
-        attrs = hit_attributes(scene, s.o, s.d, hit)
-        sc = mat_ops.scatter(scene, k, s.d, attrs)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
         live = s.alive & attrs.valid
         diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
-        bsdf_color = mat_ops.bsdf(scene, attrs.mat_id, attrs.p, attrs.uv)
+        if feats is not None:
+            bsdf_color = mat_ops.bsdf_from(scene, feats, attrs.p, attrs.uv)
+        else:
+            bsdf_color = mat_ops.bsdf(scene, attrs.mat_id, attrs.p, attrs.uv)
 
         out_valid = s.out_valid | diffuse_now
         out_p = jnp.where(diffuse_now[:, None], attrs.p, s.out_p)
@@ -314,9 +316,8 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
 
         def body(s: S):
             k = jax.random.fold_in(k_walk, s.bounce)
-            hit = intersect_scene(scene, s.o, s.d, t_min, jnp.inf, intersector)
-            attrs = hit_attributes(scene, s.o, s.d, hit)
-            sc = mat_ops.scatter(scene, k, s.d, attrs)
+            attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+            sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
             live = s.alive & attrs.valid
             # Le at every hit (photon_mapper.rs:341)
             radiance = s.radiance + jnp.where(
@@ -379,13 +380,24 @@ def render(scene: Scene, config: RenderConfig, key,
         if checkpoint_cb is not None:
             checkpoint_cb(state)
 
+    # final gather, host-batched like path_tracer.render (long single
+    # dispatches can trip the device/tunnel)
     n_total = sp.n_iterations * sp.photons_per_iter
-    img, rays = gather_fn(
-        scene, state, jax.random.fold_in(key, 23),
-        width=config.width, height=config.height,
-        spp=config.samples_per_pixel,
-        spp_chunk=max(1, min(config.spp_chunk, config.samples_per_pixel)),
-        max_depth=config.max_depth, t_min=config.t_min,
-        spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
-        intersector=config.intersector)
-    return img, rays, state
+    total = config.samples_per_pixel
+    batch = max(1, min(config.host_spp_batch, total))
+    done, i, rays_total, accum = 0, 0, 0, None
+    while done < total:
+        spp = min(batch, total - done)
+        img, rays = gather_fn(
+            scene, state, jax.random.fold_in(jax.random.fold_in(key, 23), i),
+            width=config.width, height=config.height, spp=spp,
+            spp_chunk=max(1, min(config.spp_chunk, spp)),
+            max_depth=config.max_depth, t_min=config.t_min,
+            spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
+            intersector=config.intersector)
+        w = spp / total
+        accum = img * w if accum is None else accum + img * w
+        rays_total += int(rays)
+        done += spp
+        i += 1
+    return accum, rays_total, state

@@ -20,15 +20,22 @@ BVH_AUTO_THRESHOLD = 16384
 PALLAS_MAX_PRIMS = 16384  # tables stay well under the ~16MB VMEM budget
 
 
+def _resolve(scene: Scene, method: str) -> str:
+    # motion blur (per-ray time) is implemented on the XLA path only
+    if scene.spheres.motion_marker.shape[0]:
+        return "bruteforce"
+    if method != "auto":
+        return method
+    if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
+        return "bvh"
+    if scene.n_primitives <= PALLAS_MAX_PRIMS:
+        return "pallas"
+    return "bruteforce"
+
+
 def intersect_scene(scene: Scene, o, d, t_min, t_max,
-                    method: str = "auto") -> Hit:
-    if method == "auto":
-        if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
-            method = "bvh"
-        elif scene.n_primitives <= PALLAS_MAX_PRIMS:
-            method = "pallas"
-        else:
-            method = "bruteforce"
+                    method: str = "auto", time=None) -> Hit:
+    method = _resolve(scene, method)
     if method == "pallas":
         from raytracer_tpu.ops.pallas_intersect import intersect_pallas
         return intersect_pallas(scene, o, d, t_min, t_max)
@@ -37,4 +44,18 @@ def intersect_scene(scene: Scene, o, d, t_min, t_max,
             raise ValueError("scene has no BVH; build it with ops.bvh.build_bvh")
         from raytracer_tpu.ops.bvh import intersect_bvh
         return intersect_bvh(scene, o, d, t_min, t_max)
-    return intersect_bruteforce(scene, o, d, t_min, t_max)
+    return intersect_bruteforce(scene, o, d, t_min, t_max, time=time)
+
+
+def intersect_and_attrs(scene: Scene, o, d, t_min, t_max,
+                        method: str = "auto", time=None):
+    """Closest hit + HitRecord attributes (+ material features on the pallas
+    path, where the kernel extracts everything in VMEM and shading needs no
+    table access). Returns (hit, attrs, feats-or-None)."""
+    from raytracer_tpu.ops.intersect import hit_attributes
+    method = _resolve(scene, method)
+    if method == "pallas":
+        from raytracer_tpu.ops.pallas_intersect import intersect_pallas_full
+        return intersect_pallas_full(scene, o, d, t_min, t_max)
+    hit = intersect_scene(scene, o, d, t_min, t_max, method, time=time)
+    return hit, hit_attributes(scene, o, d, hit, time=time), None

@@ -90,7 +90,8 @@ def _chunk_scan(tile_fn, tables, n_prims, o, chunk):
 
 # ---------------------------------------------------------------- spheres
 
-def sphere_ts(o, d, center, radius, valid, t_min, t_max):
+def sphere_ts(o, d, center, radius, valid, t_min, t_max,
+              velocity=None, time=None):
     """Quadratic sphere hit, half-b form, nearest-root-in-range
     (sphere.rs:24-55). Returns (N, C) distances, +inf on miss.
 
@@ -110,6 +111,16 @@ def sphere_ts(o, d, center, radius, valid, t_min, t_max):
     c_sq = jnp.sum(center * center, axis=-1) - radius * radius  # (C,)
     half_b = o_dot_d - c_dot_d
     c_term = o_sq - 2.0 * o_dot_c + c_sq[None]
+    if velocity is not None and time is not None:
+        # motion blur: center(t) = c + v*t expands to extra matmul terms
+        tcol = time[:, None]
+        v_dot_d = jnp.matmul(d, velocity.T, precision=hi)
+        v_dot_o = jnp.matmul(o, velocity.T, precision=hi)
+        c_dot_v = jnp.sum(center * velocity, axis=-1)[None]
+        v_sq = jnp.sum(velocity * velocity, axis=-1)[None]
+        half_b = half_b - tcol * v_dot_d
+        c_term = c_term + tcol * (2.0 * c_dot_v - 2.0 * v_dot_o) \
+                 + tcol * tcol * v_sq
     disc = half_b * half_b - a * c_term
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     inv_a = 1.0 / a
@@ -123,15 +134,21 @@ def sphere_ts(o, d, center, radius, valid, t_min, t_max):
     return jnp.where((disc >= 0.0) & valid[None], t, INF)
 
 
-def sphere_closest(o, d, spheres: Spheres, t_min, t_max, chunk=512):
+def sphere_closest(o, d, spheres: Spheres, t_min, t_max, chunk=512,
+                   time=None):
     n = spheres.radius.shape[0]
+    moving = spheres.motion_marker.shape[0] and time is not None
     tables = (
         _pad_chunk(spheres.center, chunk, 0.0),
         _pad_chunk(spheres.radius, chunk, 0.0),
         _pad_chunk(spheres.mat_id >= 0, chunk, False),
+        _pad_chunk(spheres.velocity if moving else spheres.center[:, :0],
+                   chunk, 0.0),
     )
     return _chunk_scan(
-        lambda tabs: sphere_ts(o, d, tabs[0], tabs[1], tabs[2], t_min, t_max),
+        lambda tabs: sphere_ts(o, d, tabs[0], tabs[1], tabs[2], t_min, t_max,
+                               velocity=tabs[3] if moving else None,
+                               time=time if moving else None),
         tables, n, o, chunk)
 
 
@@ -241,7 +258,8 @@ def aabb_hit(o, inv_d, bmin, bmax, t_min, t_max):
 
 # ------------------------------------------------- unified closest hit
 
-def intersect_bruteforce(scene: Scene, o, d, t_min, t_max) -> Hit:
+def intersect_bruteforce(scene: Scene, o, d, t_min, t_max,
+                         time=None) -> Hit:
     """Closest hit over all primitive tables by linear reduction (the
     semantics of hit.rs:56-67 without the tree)."""
     best_t = jnp.full(o.shape[:1], INF)
@@ -256,7 +274,8 @@ def intersect_bruteforce(scene: Scene, o, d, t_min, t_max) -> Hit:
         best_idx = jnp.where(better, i, best_idx)
 
     if scene.spheres.radius.shape[0]:
-        consider(*sphere_closest(o, d, scene.spheres, t_min, t_max), PRIM_SPHERE)
+        consider(*sphere_closest(o, d, scene.spheres, t_min, t_max, time=time),
+                 PRIM_SPHERE)
     if scene.rects.k.shape[0]:
         consider(*rect_closest(o, d, scene.rects, t_min, t_max), PRIM_RECT)
     if scene.triangles.mat_id.shape[0]:
@@ -273,7 +292,7 @@ def sphere_uv(n_out):
     return jnp.stack([phi / (2.0 * PI), theta / PI], axis=-1)
 
 
-def hit_attributes(scene: Scene, o, d, hit: Hit) -> HitAttrs:
+def hit_attributes(scene: Scene, o, d, hit: Hit, time=None) -> HitAttrs:
     """Compute the HitRecord fields for the winning primitive of each ray
     (hit.rs:24-30 front-face logic; per-type normal/uv math)."""
     n = o.shape[0]
@@ -288,6 +307,8 @@ def hit_attributes(scene: Scene, o, d, hit: Hit) -> HitAttrs:
     if scene.spheres.radius.shape[0]:
         i = jnp.clip(hit.prim_idx, 0, scene.spheres.radius.shape[0] - 1)
         c = scene.spheres.center[i]
+        if scene.spheres.motion_marker.shape[0] and time is not None:
+            c = c + scene.spheres.velocity[i] * time[:, None]
         r = scene.spheres.radius[i]
         no = (p - c) / r[:, None]
         sel = hit.prim_type == PRIM_SPHERE

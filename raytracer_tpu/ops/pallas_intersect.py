@@ -1,22 +1,38 @@
-"""Pallas TPU kernel: closest hit over all primitive tables.
+"""Pallas TPU kernel: closest hit + winner attributes over all primitive
+tables.
 
 Why this kernel exists: the XLA brute-force path (ops/intersect.py)
 materializes (N_rays, C) intermediates in HBM for every primitive chunk of
-every bounce — the render is HBM-bandwidth-bound. This kernel tiles rays
+every bounce, and the follow-up HitRecord computation performs per-ray table
+gathers — both HBM-bandwidth/scalar-unit bound. This kernel tiles rays
 (TILE=256) over a 1-D grid, holds ALL primitive tables resident in VMEM
-(they are tiny: scene_500 is ~20 KB of spheres), and performs the whole
-(TILE, CHUNK) intersection + reduction on-chip. HBM traffic per bounce drops
-to the ray SoA itself (~28 B/ray), leaving the VPU as the limit.
+(scene_500 is ~20 KB of spheres), performs the whole (TILE, CHUNK)
+intersection + reduction on-chip, AND extracts the winning primitive's
+parameters with in-VMEM masked lane reductions — so the hit-attribute pass
+downstream needs NO gathers at all.
 
 Layout: tables are packed row-major "component planes" so every per-pair
 term is a broadcast of a (TILE,1) ray column against a (1,C) table row —
 pure VPU work; no (TILE,C,3) tensors anywhere.
 
-- spheres  (4, S): cx, cy, cz, |c|^2 - r^2          (pad: row3 = +BIG)
-- rects   (14, R): n_hot xyz, a_hot xyz, b_hot xyz, k, a0, a1, b0, b1
-                                                     (pad: a0=1, a1=-1)
-- tris    (16, T): n_geo xyz, e1 xyz, e2 xyz, e2xv0 xyz, e1xv0 xyz, v0.n
-                                                     (pad: all zeros -> div=0)
+Every table carries 12 trailing MATERIAL FEATURE rows (mat kind, fuzz, ir,
+tex kind, color0, color1, image_id, mat_id — material+texture data
+denormalized per primitive at pack time), so the winner's material record is
+extracted by the same in-VMEM reduction and the shading pass needs no table
+access at all (TPU gathers are scalar-unit loops; with ~1000 deduped
+materials in scene_500 they dominated the bounce).
+
+- spheres  (4+12, S): cx, cy, cz, |c|^2 - r^2 | feats   (pad: row3 = +BIG)
+- rects   (14+12, R): n/a/b one-hots, k, a0, a1, b0, b1 | feats
+                                                        (pad: a0=1, a1=-1)
+- tris    (25+12, T): n_geo, e1, e2, e2xv0, e1xv0, v0.n, n0, n1, n2 | feats
+                                                        (pad: zeros -> div=0)
+
+Winner-data slots (TILE, 32), decoded in :func:`attrs_from_winner_data`:
+- slots 0..15 geometry by type:
+  sphere [cx, cy, cz, csq];  rect [planes 0..13];
+  tri [b1, b2, n0 xyz, n1 xyz, n2 xyz]
+- slots 16..27 material features (see FEAT_* indices)
 
 Math matches ops/intersect.py exactly (sphere.rs:24-55, rectangle.rs,
 mesh.rs:57-98 via the scalar-triple-product form). Falls back to interpret
@@ -29,17 +45,23 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.ops.intersect import Hit
+from raytracer_tpu.ops import vec
+from raytracer_tpu.ops.intersect import Hit, HitAttrs, sphere_uv
 from raytracer_tpu.scene.types import (
     PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, Scene,
 )
 
 TILE = 256
 CHUNK = 512
+N_GEO_SLOTS = 16
+N_FEAT = 12
+N_SLOTS = N_GEO_SLOTS + N_FEAT
+# feature row order (appended to every table; also the winner-slot order
+# after N_GEO_SLOTS): kind, fuzz, ir, tex_kind, c0(3), c1(3), image_id, mat_id
+
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in pallas
 
 
@@ -56,6 +78,21 @@ def _pad_cols(a, mult: int, fill: float):
     return a
 
 
+def _feature_rows(scene: Scene, mat_id):
+    """(12, K) material+texture feature planes for a per-primitive mat_id
+    vector — denormalized host/trace side where tables are tiny."""
+    m = scene.materials
+    t = scene.textures
+    tex = m.tex_id[mat_id]
+    rows = [
+        m.kind[mat_id][None], m.fuzz[mat_id][None], m.ir[mat_id][None],
+        t.kind[tex][None],
+        t.color0[tex].T, t.color1[tex].T,
+        t.image_id[tex][None], mat_id[None],
+    ]
+    return jnp.concatenate([x.astype(jnp.float32) for x in rows], 0)
+
+
 def pack_tables(scene: Scene):
     """Pack scene tables into the kernel's component-plane layout. Empty
     tables become one fully-padded chunk whose pad values guarantee a miss."""
@@ -64,11 +101,13 @@ def pack_tables(scene: Scene):
     if n_s:
         c = s.center.T.astype(jnp.float32)                 # (3, S)
         r = s.radius.astype(jnp.float32)
-        sph = jnp.concatenate([c, (jnp.sum(c * c, 0) - r * r)[None]], 0)
+        sph = jnp.concatenate([
+            c, (jnp.sum(c * c, 0) - r * r)[None],
+            _feature_rows(scene, s.mat_id)], 0)
         sph = _pad_cols(sph, CHUNK, 0.0)
         sph = sph.at[3, n_s:].set(3e38)                    # pad -> disc < 0
     else:
-        sph = jnp.zeros((4, CHUNK), jnp.float32).at[3, :].set(3e38)
+        sph = jnp.zeros((4 + N_FEAT, CHUNK), jnp.float32).at[3, :].set(3e38)
 
     rct = scene.rects
     n_r = rct.k.shape[0]
@@ -79,22 +118,28 @@ def pack_tables(scene: Scene):
         b_hot = eye[jnp.where(rct.axis == 2, 1, 2)].T
         rows = [n_hot, a_hot, b_hot, rct.k[None], rct.a0[None], rct.a1[None],
                 rct.b0[None], rct.b1[None]]
-        rec = jnp.concatenate([x.astype(jnp.float32) for x in rows], 0)
+        rec = jnp.concatenate(
+            [x.astype(jnp.float32) for x in rows]
+            + [_feature_rows(scene, rct.mat_id)], 0)
         rec = _pad_cols(rec, CHUNK, 0.0)
         rec = rec.at[10, n_r:].set(1.0).at[11, n_r:].set(-1.0)  # a0>a1 -> miss
     else:
-        rec = jnp.zeros((14, CHUNK), jnp.float32).at[10, :].set(1.0).at[11, :].set(-1.0)
+        rec = jnp.zeros((14 + N_FEAT, CHUNK), jnp.float32
+                        ).at[10, :].set(1.0).at[11, :].set(-1.0)
 
     tr = scene.triangles
     n_t = tr.mat_id.shape[0]
     if n_t:
         n_geo = jnp.cross(tr.e1, tr.e2)
         rows = [n_geo.T, tr.e1.T, tr.e2.T, jnp.cross(tr.e2, tr.v0).T,
-                jnp.cross(tr.e1, tr.v0).T, jnp.sum(tr.v0 * n_geo, -1)[None]]
-        tri = jnp.concatenate([x.astype(jnp.float32) for x in rows], 0)
+                jnp.cross(tr.e1, tr.v0).T, jnp.sum(tr.v0 * n_geo, -1)[None],
+                tr.n0.T, tr.n1.T, tr.n2.T]
+        tri = jnp.concatenate(
+            [x.astype(jnp.float32) for x in rows]
+            + [_feature_rows(scene, tr.mat_id)], 0)
         tri = _pad_cols(tri, CHUNK, 0.0)                   # zeros -> div = 0
     else:
-        tri = jnp.zeros((16, CHUNK), jnp.float32)
+        tri = jnp.zeros((25 + N_FEAT, CHUNK), jnp.float32)
     return sph, rec, tri
 
 
@@ -102,7 +147,7 @@ def pack_tables(scene: Scene):
 
 def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
                     sph_ref, rect_ref, tri_ref,
-                    t_out, ty_out, ix_out,
+                    t_out, ty_out, ix_out, data_out,
                     *, n_sph: int, n_rect: int, n_tri: int):
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
@@ -112,24 +157,43 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
     best_t = jnp.minimum(tmax, BIG)
     best_ty = jnp.full_like(best_t, -1.0)
     best_ix = jnp.full_like(best_t, -1.0)
+    best_data = [jnp.zeros_like(best_t) for _ in range(N_SLOTS)]
 
     a = dx * dx + dy * dy + dz * dz                             # (T,1)
     inv_a = 1.0 / a
     o_dot_d = ox * dx + oy * dy + oz * dz
     o_sq = ox * ox + oy * oy + oz * oz
 
-    def consider(t, ok, base, code):
-        nonlocal best_t, best_ty, best_ix
+    def consider(t, ok, base, code, plane_block, plane_slots, computed):
+        """Fold one chunk's t-matrix into the running best, extracting the
+        winner's geometry + material features.
+
+        ``plane_block`` is an (R, C) slice of the table; its winner values
+        land in ``plane_slots`` via ONE onehot @ block^T matmul on the MXU
+        (replacing R separate VPU reductions). ``computed`` maps slot ->
+        per-pair (T, C) arrays (triangle barycentrics) reduced on the VPU."""
+        nonlocal best_t, best_ty, best_ix, best_data
         tt = jnp.where(ok, t, BIG)
         m = jnp.min(tt, axis=1, keepdims=True)                  # (T,1)
         col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1).astype(jnp.float32)
         midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
         better = m < best_t
+        onehot = (col == midx).astype(jnp.float32)              # (T,C)
+        vals = jax.lax.dot_general(                             # (T,R) MXU
+            onehot, plane_block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for r, slot in enumerate(plane_slots):
+            best_data[slot] = jnp.where(better, vals[:, r:r + 1],
+                                        best_data[slot])
+        for slot, arr in computed:
+            val = jnp.sum(onehot * arr, axis=1, keepdims=True)  # (T,1)
+            best_data[slot] = jnp.where(better, val, best_data[slot])
         best_t = jnp.where(better, m, best_t)
         best_ty = jnp.where(better, float(code), best_ty)
         best_ix = jnp.where(better, midx + base, best_ix)
 
-    # ------------------------------------------------- spheres (4, S)
+    # ------------------------------------------------- spheres (5, S)
     for j in range(0, n_sph, CHUNK):
         cx = sph_ref[0:1, j:j + CHUNK]                          # (1,C)
         cy = sph_ref[1:2, j:j + CHUNK]
@@ -144,24 +208,14 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
         ok1 = (r1 >= tmin) & (r1 <= tmax)
         ok2 = (r2 >= tmin) & (r2 <= tmax)
         t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
-        consider(t, (disc >= 0.0), float(j), PRIM_SPHERE)
+        consider(t, (disc >= 0.0), float(j), PRIM_SPHERE,
+                 sph_ref[:, j:j + CHUNK],
+                 list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
 
-    # -------------------------------------------------- rects (14, R)
+    # -------------------------------------------------- rects (15, R)
     for j in range(0, n_rect, CHUNK):
-        nx = rect_ref[0:1, j:j + CHUNK]
-        ny = rect_ref[1:2, j:j + CHUNK]
-        nz = rect_ref[2:3, j:j + CHUNK]
-        ax_ = rect_ref[3:4, j:j + CHUNK]
-        ay = rect_ref[4:5, j:j + CHUNK]
-        az = rect_ref[5:6, j:j + CHUNK]
-        bx = rect_ref[6:7, j:j + CHUNK]
-        by = rect_ref[7:8, j:j + CHUNK]
-        bz = rect_ref[8:9, j:j + CHUNK]
-        k = rect_ref[9:10, j:j + CHUNK]
-        a0 = rect_ref[10:11, j:j + CHUNK]
-        a1 = rect_ref[11:12, j:j + CHUNK]
-        b0 = rect_ref[12:13, j:j + CHUNK]
-        b1 = rect_ref[13:14, j:j + CHUNK]
+        planes = [rect_ref[r:r + 1, j:j + CHUNK] for r in range(14 + N_FEAT)]
+        (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes[:14]
         d_n = dx * nx + dy * ny + dz * nz
         o_n = ox * nx + oy * ny + oz * nz
         safe = jnp.abs(d_n) > 1e-12
@@ -170,29 +224,18 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
         pb = (ox * bx + oy * by + oz * bz) + t * (dx * bx + dy * by + dz * bz)
         ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
               & (t >= tmin) & (t <= tmax))
-        consider(t, ok, float(j), PRIM_RECT)
+        consider(t, ok, float(j), PRIM_RECT,
+                 rect_ref[:, j:j + CHUNK],
+                 list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
 
-    # ---------------------------------------------- triangles (16, T)
+    # ---------------------------------------------- triangles (26, T)
     oxd_x = oy * dz - oz * dy                                   # (T,1)
     oxd_y = oz * dx - ox * dz
     oxd_z = ox * dy - oy * dx
     for j in range(0, n_tri, CHUNK):
-        ngx = tri_ref[0:1, j:j + CHUNK]
-        ngy = tri_ref[1:2, j:j + CHUNK]
-        ngz = tri_ref[2:3, j:j + CHUNK]
-        e1x = tri_ref[3:4, j:j + CHUNK]
-        e1y = tri_ref[4:5, j:j + CHUNK]
-        e1z = tri_ref[5:6, j:j + CHUNK]
-        e2x = tri_ref[6:7, j:j + CHUNK]
-        e2y = tri_ref[7:8, j:j + CHUNK]
-        e2z = tri_ref[8:9, j:j + CHUNK]
-        w2x = tri_ref[9:10, j:j + CHUNK]
-        w2y = tri_ref[10:11, j:j + CHUNK]
-        w2z = tri_ref[11:12, j:j + CHUNK]
-        w1x = tri_ref[12:13, j:j + CHUNK]
-        w1y = tri_ref[13:14, j:j + CHUNK]
-        w1z = tri_ref[14:15, j:j + CHUNK]
-        v0n = tri_ref[15:16, j:j + CHUNK]
+        pr = [tri_ref[r:r + 1, j:j + CHUNK] for r in range(25 + N_FEAT)]
+        (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
+         w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr[:16]
         div = -(dx * ngx + dy * ngy + dz * ngz)
         safe = div != 0.0
         inv = 1.0 / jnp.where(safe, div, 1.0)
@@ -203,12 +246,19 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
         t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
         ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
               & (b1 + b2 <= 1.0) & (t >= tmin) & (t <= tmax))
-        consider(t, ok, float(j), PRIM_TRIANGLE)
+        # winner geometry slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz]; the
+        # barycentrics are per-pair computed values -> VPU reductions
+        consider(t, ok, float(j), PRIM_TRIANGLE,
+                 tri_ref[16:, j:j + CHUNK],
+                 list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
+                 [(0, b1), (1, b2)])
 
     miss = best_ty < 0.0
     t_out[:] = jnp.where(miss, BIG, best_t)  # mapped to +inf by the wrapper
     ty_out[:] = best_ty.astype(jnp.int32)
     ix_out[:] = best_ix.astype(jnp.int32)
+    for i in range(N_SLOTS):
+        data_out[:, i:i + 1] = best_data[i]
 
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
@@ -229,8 +279,8 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, *,
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
                                n_tri=n_tri)
-    flops_per_ray = 30 * n_sph + 40 * n_rect + 50 * n_tri
-    t, ty, ix = pl.pallas_call(
+    flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri
+    t, ty, ix, data = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -246,31 +296,98 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, *,
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, N_SLOTS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, N_SLOTS), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 40,
+            flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
     )(o, d, tmin, tmax, sph, rect, tri)
     t = t[:n, 0]
-    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0])
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
 
-def intersect_pallas(scene: Scene, o, d, t_min, t_max) -> Hit:
-    """Closest hit via the fused VMEM-resident kernel."""
+def _run(scene: Scene, o, d, t_min, t_max):
     sph, rect, tri = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
     interpret = jax.default_backend() != "tpu"
-    t, ty, ix = _call_kernel(
+    return _call_kernel(
         o, d, tmin, tmax, sph, rect, tri,
         n_sph=sph.shape[1], n_rect=rect.shape[1], n_tri=tri.shape[1],
         interpret=interpret)
+
+
+def intersect_pallas(scene: Scene, o, d, t_min, t_max) -> Hit:
+    """Closest hit via the fused VMEM-resident kernel."""
+    t, ty, ix, _ = _run(scene, o, d, t_min, t_max)
     return Hit(t, ty, ix)
+
+
+def attrs_from_winner_data(o, d, hit: Hit, data):
+    """HitRecord fields + material features from the kernel's extracted
+    winner parameters — zero table gathers (hit.rs:24-30 front-face logic;
+    per-type normal/uv). Returns (HitAttrs, MatFeatures)."""
+    from raytracer_tpu.ops.materials import MatFeatures
+    valid = jnp.isfinite(hit.t)
+    t = jnp.where(valid, hit.t, 0.0)
+    p = o + t[:, None] * d
+    ty = hit.prim_type
+
+    # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]
+    c = data[:, 0:3]
+    r = jnp.sqrt(jnp.maximum(jnp.sum(c * c, -1) - data[:, 3], 1e-20))
+    sph_n = (p - c) / r[:, None]
+
+    # rect: slots [n(3), a_hot(3), b_hot(3), k, a0, a1, b0, b1]
+    rect_n = data[:, 0:3]
+    pa = jnp.sum(p * data[:, 3:6], -1)
+    pb = jnp.sum(p * data[:, 6:9], -1)
+    a0, a1 = data[:, 10], data[:, 11]
+    b0, b1 = data[:, 12], data[:, 13]
+    rect_uv = jnp.stack([(pa - a0) / jnp.where(a1 != a0, a1 - a0, 1.0),
+                         (pb - b0) / jnp.where(b1 != b0, b1 - b0, 1.0)], -1)
+
+    # triangle: slots [b1, b2, n0(3), n1(3), n2(3)]
+    b1 = data[:, 0:1]
+    b2 = data[:, 1:2]
+    b0_ = 1.0 - b1 - b2
+    tri_n = vec.unit(b0_ * data[:, 2:5] + b1 * data[:, 5:8] + b2 * data[:, 8:11])
+
+    is_s = (ty == PRIM_SPHERE)[:, None]
+    is_r = (ty == PRIM_RECT)[:, None]
+    n_out = jnp.where(is_s, sph_n, jnp.where(is_r, rect_n, tri_n))
+    uv = jnp.where(is_s, sphere_uv(sph_n),
+                   jnp.where(is_r, rect_uv, jnp.zeros_like(rect_uv)))
+    fb = N_GEO_SLOTS  # feature slot base
+    mat_id = jnp.round(data[:, fb + 11]).astype(jnp.int32)
+    mat_id = jnp.where(valid, mat_id, 0)
+    feats = MatFeatures(
+        kind=jnp.round(data[:, fb + 0]).astype(jnp.int32),
+        fuzz=data[:, fb + 1], ir=jnp.maximum(data[:, fb + 2], 1e-6),
+        tex_kind=jnp.round(data[:, fb + 3]).astype(jnp.int32),
+        color0=data[:, fb + 4:fb + 7], color1=data[:, fb + 7:fb + 10],
+        image_id=jnp.round(data[:, fb + 10]).astype(jnp.int32),
+        tex_id=jnp.zeros_like(mat_id))
+
+    front_face = vec.dot(d, n_out) < 0.0
+    normal = vec.unit(jnp.where(front_face[:, None], n_out, -n_out))
+    return HitAttrs(valid, hit.t, p, normal, front_face, uv, mat_id), feats
+
+
+def intersect_pallas_full(scene: Scene, o, d, t_min, t_max):
+    """One fused call: (Hit, HitAttrs, MatFeatures) — no table access in
+    the shading pass at all."""
+    t, ty, ix, data = _run(scene, o, d, t_min, t_max)
+    hit = Hit(t, ty, ix)
+    attrs, feats = attrs_from_winner_data(o, d, hit, data)
+    return hit, attrs, feats

@@ -60,10 +60,12 @@ class SceneBuilder:
     def __init__(self):
         self._tex = {"kind": [], "color0": [], "color1": [], "image_id": []}
         self._mat = {"kind": [], "tex_id": [], "fuzz": [], "ir": []}
-        self._sph = {"center": [], "radius": [], "mat_id": []}
+        self._sph = {"center": [], "radius": [], "mat_id": [], "velocity": []}
         self._rect = {"axis": [], "k": [], "a0": [], "a1": [], "b0": [], "b1": [], "mat_id": []}
         self._tri = {"v0": [], "e1": [], "e2": [], "n0": [], "n1": [], "n2": [], "mat_id": []}
         self._light = {"kind": [], "p0": [], "p1": [], "r0": [], "flux": [], "scale": []}
+        self._medium = {"kind": [], "p0": [], "p1": [], "r0": [],
+                        "neg_inv_density": [], "mat_id": []}
         self._images = []
         self.camera_params = None
 
@@ -81,6 +83,11 @@ class SceneBuilder:
             image = image.astype(F) / 255.0
         self._images.append(np.asarray(image, F))
         return self._push_tex(T.TEX_IMAGE, (0, 0, 0), (0, 0, 0), len(self._images) - 1)
+
+    def noise_texture(self, scale: float = 1.0) -> int:
+        """Perlin marble texture (driver extension; reference has no Perlin).
+        The scale rides in color0[0]."""
+        return self._push_tex(T.TEX_NOISE, (scale, 0, 0), (0, 0, 0), -1)
 
     def _push_tex(self, kind, c0, c1, img) -> int:
         self._tex["kind"].append(kind)
@@ -121,6 +128,16 @@ class SceneBuilder:
         self._sph["center"].append(tuple(center))
         self._sph["radius"].append(radius)
         self._sph["mat_id"].append(mat_id)
+        self._sph["velocity"].append((0.0, 0.0, 0.0))
+
+    def add_moving_sphere(self, center0, center1, radius: float, mat_id: int):
+        """Motion-blur sphere: lerps center0 -> center1 over the shutter
+        (book-2 MovingSphere semantics; extension — the reference has none)."""
+        self._sph["center"].append(tuple(center0))
+        self._sph["radius"].append(radius)
+        self._sph["mat_id"].append(mat_id)
+        self._sph["velocity"].append(tuple(
+            c1 - c0 for c0, c1 in zip(center0, center1)))
 
     def add_rect(self, axis: int, k: float, a0: float, a1: float,
                  b0: float, b1: float, mat_id: int):
@@ -174,6 +191,29 @@ class SceneBuilder:
         self._tri["n2"].append(nrm[idx[:, 2]])
         self._tri["mat_id"].append(np.full((len(idx),), mat_id, I))
 
+    # ------------------------------------------------------------- media
+
+    def add_constant_medium_sphere(self, center, radius, density, tex_id):
+        """ConstantMedium with a sphere boundary (medium.rs:7-24): the
+        boundary is NOT hittable geometry; scattering uses the Isotropic
+        phase material."""
+        mat = self.isotropic(tex_id)
+        self._push_medium(0, center, (0, 0, 0), radius, density, mat)
+        return mat
+
+    def add_constant_medium_box(self, pmin, pmax, density, tex_id):
+        mat = self.isotropic(tex_id)
+        self._push_medium(1, pmin, pmax, 0.0, density, mat)
+        return mat
+
+    def _push_medium(self, kind, p0, p1, r0, density, mat_id):
+        self._medium["kind"].append(kind)
+        self._medium["p0"].append(tuple(p0))
+        self._medium["p1"].append(tuple(p1))
+        self._medium["r0"].append(r0)
+        self._medium["neg_inv_density"].append(-1.0 / density)
+        self._medium["mat_id"].append(mat_id)
+
     # ------------------------------------------------------------ lights
 
     def add_sphere_light(self, center, radius, flux, scale):
@@ -207,19 +247,23 @@ class SceneBuilder:
     # ------------------------------------------------------------ camera
 
     def set_camera(self, look_from, look_at, vup=(0.0, 1.0, 0.0), vfov=50.0,
-                   aspect_ratio=1.0, aperture=0.0, focus_dist=10.0):
+                   aspect_ratio=1.0, aperture=0.0, focus_dist=10.0,
+                   time0=0.0, time1=0.0):
         self.camera_params = dict(
             look_from=tuple(look_from), look_at=tuple(look_at), vup=tuple(vup),
             vfov=vfov, aspect_ratio=aspect_ratio, aperture=aperture,
-            focus_dist=focus_dist)
+            focus_dist=focus_dist, time0=time0, time1=time1)
 
     # ----------------------------------------------------------- compile
 
     def compile(self, aspect_ratio: Optional[float] = None) -> T.Scene:
+        has_motion = any(any(v) for v in self._sph["velocity"])
         spheres = T.Spheres(
             center=_arr(self._sph["center"], (0, 3)),
             radius=_arr(self._sph["radius"], (0,)),
             mat_id=_arr(self._sph["mat_id"], (0,), I),
+            velocity=_arr(self._sph["velocity"], (0, 3)),
+            motion_marker=jnp.zeros((1 if has_motion else 0,), I),
         )
         rects = T.Rects(
             axis=_arr(self._rect["axis"], (0,), I),
@@ -242,11 +286,13 @@ class SceneBuilder:
             fuzz=_arr(self._mat["fuzz"], (0,)),
             ir=_arr(self._mat["ir"], (0,)),
         )
+        has_noise = any(k == T.TEX_NOISE for k in self._tex["kind"])
         textures = T.Textures(
             kind=_arr(self._tex["kind"], (0,), I),
             color0=_arr(self._tex["color0"], (0, 3)),
             color1=_arr(self._tex["color1"], (0, 3)),
             image_id=_arr(self._tex["image_id"], (0,), I),
+            noise_marker=jnp.zeros((1 if has_noise else 0,), I),
         )
         images, image_wh = _pack_images(self._images)
 
@@ -277,6 +323,18 @@ class SceneBuilder:
             cp = dict(cp, aspect_ratio=aspect_ratio)
         camera = make_camera(**cp)
 
+        media = None
+        if self._medium["kind"]:
+            from raytracer_tpu.ops.media import Media
+            media = Media(
+                kind=_arr(self._medium["kind"], (0,), I),
+                p0=_arr(self._medium["p0"], (0, 3)),
+                p1=_arr(self._medium["p1"], (0, 3)),
+                r0=_arr(self._medium["r0"], (0,)),
+                neg_inv_density=_arr(self._medium["neg_inv_density"], (0,)),
+                mat_id=_arr(self._medium["mat_id"], (0,), I),
+            )
+
         bmin, bmax = _scene_bounds(spheres, rects, triangles)
         return T.Scene(
             spheres=spheres, rects=rects, triangles=triangles,
@@ -284,11 +342,12 @@ class SceneBuilder:
             images=images, image_wh=image_wh,
             lights=lights, camera=camera,
             bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
+            media=media,
         )
 
 
 def make_camera(look_from, look_at, vup, vfov, aspect_ratio, aperture,
-                focus_dist) -> T.Camera:
+                focus_dist, time0=0.0, time1=0.0) -> T.Camera:
     """Thin-lens precomputation, camera.rs:24-55."""
     look_from = np.asarray(look_from, F)
     look_at = np.asarray(look_at, F)
@@ -313,6 +372,7 @@ def make_camera(look_from, look_at, vup, vfov, aspect_ratio, aperture,
         horizontal=jnp.asarray(horizontal), vertical=jnp.asarray(vertical),
         u=jnp.asarray(u), v=jnp.asarray(v), w=jnp.asarray(w),
         lens_radius=jnp.asarray(aperture / 2.0, F),
+        time0=jnp.asarray(time0, F), time1=jnp.asarray(time1, F),
     )
 
 

@@ -24,10 +24,12 @@ MAT_DIELECTRIC = 2     # material.rs:141-188
 MAT_DIFFUSE_LIGHT = 3  # material.rs:191-212 (emits AND scatters diffusely)
 MAT_ISOTROPIC = 4      # material.rs:213-231 (commented out in ref; capability)
 
-# Texture kinds (material.rs:48-84)
+# Texture kinds (material.rs:48-84; NOISE is a driver-requested extension —
+# the reference has no Perlin, SURVEY.md §8)
 TEX_CONSTANT = 0
 TEX_CHECKER = 1
 TEX_IMAGE = 2
+TEX_NOISE = 3
 
 # Light kinds (light.rs)
 LIGHT_SPHERE = 0       # SphereDiffuseLight light.rs:67-125
@@ -56,9 +58,12 @@ class Textures(NamedTuple):
                 and v-flip (material.rs:70-84)
     """
     kind: jnp.ndarray      # (T,) int32
-    color0: jnp.ndarray    # (T, 3)
+    color0: jnp.ndarray    # (T, 3)  (noise textures pack their scale in [.,0])
     color1: jnp.ndarray    # (T, 3)
     image_id: jnp.ndarray  # (T,) int32 (-1 if none)
+    # static shape-flag: (1,) if any noise texture exists else (0,) — lets
+    # jitted texture eval skip the Perlin octaves entirely when unused
+    noise_marker: jnp.ndarray = jnp.zeros((0,), jnp.int32)
 
 
 class Materials(NamedTuple):
@@ -72,10 +77,15 @@ class Materials(NamedTuple):
 
 
 class Spheres(NamedTuple):
-    """Sphere table (sphere.rs:8-12)."""
+    """Sphere table (sphere.rs:8-12). ``velocity`` supports motion blur
+    (driver-config extension; the reference's Ray has no time, ray.rs:3-6):
+    center(t) = center + velocity * t over the camera shutter [0, 1].
+    ``motion_marker`` is a static shape-flag: (1,) if any sphere moves."""
     center: jnp.ndarray  # (S, 3)
     radius: jnp.ndarray  # (S,)
     mat_id: jnp.ndarray  # (S,) int32
+    velocity: jnp.ndarray = jnp.zeros((0, 3), jnp.float32)  # (S, 3) or (0,3)
+    motion_marker: jnp.ndarray = jnp.zeros((0,), jnp.int32)
 
 
 class Rects(NamedTuple):
@@ -134,6 +144,9 @@ class Camera(NamedTuple):
     v: jnp.ndarray                 # (3,)
     w: jnp.ndarray                 # (3,)
     lens_radius: jnp.ndarray       # () scalar
+    # shutter window for motion blur (extension; 0 = instantaneous)
+    time0: jnp.ndarray = jnp.float32(0.0)
+    time1: jnp.ndarray = jnp.float32(0.0)
 
 
 class BVH(NamedTuple):
@@ -164,6 +177,7 @@ class Scene(NamedTuple):
     bounds_min: jnp.ndarray    # (3,) scene AABB (for photon grids, eps scale)
     bounds_max: jnp.ndarray    # (3,)
     bvh: Optional[BVH] = None
+    media: Optional["Media"] = None  # constant-density volumes (ops/media.py)
 
     @property
     def n_primitives(self):

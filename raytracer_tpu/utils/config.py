@@ -45,6 +45,10 @@ class RenderConfig:
     # Batching: rays processed per device step = width*height*spp_chunk is
     # capped by splitting spp into chunks of this size.
     spp_chunk: int = 4
+    # Host-side dispatch batching: one jit call renders at most this many
+    # samples per pixel (very long single dispatches can trip device/tunnel
+    # timeouts; batching also gives natural progress/checkpoint points).
+    host_spp_batch: int = 64
     seed: int = 0
     # Self-intersection epsilons. The reference uses absolute 1e-3 (camera,
     # photon_mapper.rs:285) / 1e-4 (photons, photon_mapper.rs:242) in f64;
