@@ -35,19 +35,28 @@ def main():
               max_depth=max_depth, t_min=1e-3, spawn_eps_rel=1e-4,
               intersector="auto")
 
-    # warmup/compile
-    img, rays = pt.render_fn(scene, key, **kw)
-    jax.block_until_ready(img)
-
+    # headline: pure throughput, no Russian roulette (alive-lane count is
+    # then an honest denominator)
+    img, rays = pt.render_fn(scene, key, russian_roulette=False, **kw)
+    jax.block_until_ready(img)  # warmup/compile
     t0 = time.time()
-    img, rays = pt.render_fn(scene, jax.random.PRNGKey(1), **kw)
+    img, rays = pt.render_fn(scene, jax.random.PRNGKey(1),
+                             russian_roulette=False, **kw)
     jax.block_until_ready(img)
     dt = time.time() - t0
+
+    # production config: RR on (unbiased) — faster wall-clock per spp
+    img2, _ = pt.render_fn(scene, key, russian_roulette=True, **kw)
+    jax.block_until_ready(img2)
+    t0 = time.time()
+    img2, _ = pt.render_fn(scene, jax.random.PRNGKey(1),
+                           russian_roulette=True, **kw)
+    jax.block_until_ready(img2)
+    dt_rr = time.time() - t0
 
     n_chips = 1  # bench environment exposes a single chip
     rays_total = int(rays)
     mrays = rays_total / dt / 1e6 / n_chips
-    wallclock_1000spp = dt * (1000 / spp_timed)
 
     result = {
         "metric": "Mrays/s/chip scene_500 800x600 (wavefront PT, depth<=16)",
@@ -55,7 +64,8 @@ def main():
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 100.0, 3),
         "wallclock_s_per_32spp": round(dt, 3),
-        "extrapolated_s_to_1000spp": round(wallclock_1000spp, 1),
+        "wallclock_s_per_32spp_rr": round(dt_rr, 3),
+        "extrapolated_s_to_1000spp": round(dt_rr * (1000 / spp_timed), 1),
         "rays_traced": rays_total,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -64,12 +64,21 @@ def hit_and_attrs(scene: Scene, key, o, d, t_min, intersector: str,
     return attrs, feats
 
 
+RR_START_BOUNCE = 3  # Russian roulette kicks in after this many bounces
+
+
 def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
                    spawn_eps, intersector: str = "auto",
-                   time=None) -> TraceResult:
+                   time=None, russian_roulette: bool = True) -> TraceResult:
     """Trace a wavefront of rays to completion; returns per-ray radiance.
     ``time`` (N,) enables motion blur: scattered rays inherit their primary
-    ray's shutter time (book-2 semantics)."""
+    ray's shutter time (book-2 semantics).
+
+    ``russian_roulette``: unbiased path termination with survival
+    probability max(throughput) after RR_START_BOUNCE bounces (the
+    reference's PT-analog walk has no RR and relies on the depth cap,
+    photon_mapper.rs:334 — RR preserves the image in expectation while
+    cutting dead-weight lanes on deep paths, a large wavefront win)."""
     n = o.shape[0]
 
     class S(NamedTuple):
@@ -97,6 +106,14 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         cont = live & (sc.interaction != INTER_ABSORB)
         throughput = jnp.where(cont[:, None],
                                s.throughput * sc.attenuation, s.throughput)
+        if russian_roulette:
+            p_surv = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            do_rr = s.bounce >= RR_START_BOUNCE
+            u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
+            survive = ~do_rr | (u < p_surv)
+            throughput = jnp.where((do_rr & cont & survive)[:, None],
+                                   throughput / p_surv[:, None], throughput)
+            cont = cont & survive
         new_o = spawn_origin(attrs.p, attrs.normal, sc.direction, spawn_eps)
         o2 = jnp.where(cont[:, None], new_o, s.o)
         d2 = jnp.where(cont[:, None], sc.direction, s.d)
@@ -115,10 +132,12 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "spp", "spp_chunk", "max_depth", "intersector"))
+    "width", "height", "spp", "spp_chunk", "max_depth", "intersector",
+    "russian_roulette"))
 def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
               spp_chunk: int, max_depth: int, t_min: float,
-              spawn_eps_rel: float, intersector: str = "auto"):
+              spawn_eps_rel: float, intersector: str = "auto",
+              russian_roulette: bool = True):
     """Render the full image: fori_loop over sample chunks, each chunk a
     (H*W*spp_chunk)-ray wavefront. Returns ((H,W,3) linear image, rays)."""
     npix = width * height
@@ -139,7 +158,8 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
                 jax.random.fold_in(k_cam, 31), (o.shape[0],)) * (cam.time1 - cam.time0)
         res = trace_radiance(
             scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
-            spawn_eps=spawn_eps, intersector=intersector, time=time)
+            spawn_eps=spawn_eps, intersector=intersector, time=time,
+            russian_roulette=russian_roulette)
         rad = res.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
         return accum + rad, rays + res.rays_traced + o.shape[0]
 
@@ -168,7 +188,8 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
             height=config.height, spp=spp, spp_chunk=min(spp_chunk, spp),
             max_depth=config.max_depth, t_min=config.t_min,
             spawn_eps_rel=config.spawn_eps_rel,
-            intersector=config.intersector)
+            intersector=config.intersector,
+            russian_roulette=config.russian_roulette)
         w = spp / total
         accum = img * w if accum is None else accum + img * w
         rays_total += int(rays)

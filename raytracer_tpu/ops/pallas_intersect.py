@@ -55,7 +55,11 @@ from raytracer_tpu.scene.types import (
 )
 
 TILE = 256
-CHUNK = 512
+CHUNK = 512        # rect/tri chunk width
+# Sphere chunk width. Finer chunks enable more selective per-chunk AABB
+# culling but add per-chunk fixed costs; wavefronts are incoherent after the
+# first bounce, so culling rarely skips and 512 (measured) wins.
+SPH_CHUNK = 512
 N_GEO_SLOTS = 16
 N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
@@ -93,21 +97,54 @@ def _feature_rows(scene: Scene, mat_id):
     return jnp.concatenate([x.astype(jnp.float32) for x in rows], 0)
 
 
+def _morton_order(centers):
+    """Z-order sort so consecutive sphere chunks are spatially compact
+    (enables per-chunk AABB culling in the kernel)."""
+    lo = centers.min(0)
+    hi = centers.max(0)
+    q = jnp.clip(((centers - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0)
+                 .astype(jnp.uint32), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return jnp.argsort(code)
+
+
 def pack_tables(scene: Scene):
     """Pack scene tables into the kernel's component-plane layout. Empty
-    tables become one fully-padded chunk whose pad values guarantee a miss."""
+    tables become one fully-padded chunk whose pad values guarantee a miss.
+    Spheres are Morton-ordered; returns (sph, rect, tri, sph_cull) where
+    sph_cull is the (6, n_sph_chunks) per-chunk AABB table and the sphere
+    block carries an extra original-index row (row 4+N_FEAT)."""
     s = scene.spheres
     n_s = s.radius.shape[0]
     if n_s:
-        c = s.center.T.astype(jnp.float32)                 # (3, S)
-        r = s.radius.astype(jnp.float32)
+        order = _morton_order(s.center.astype(jnp.float32))
+        c = s.center[order].T.astype(jnp.float32)          # (3, S)
+        r = s.radius[order].astype(jnp.float32)
+        orig = order.astype(jnp.float32)[None]
         sph = jnp.concatenate([
             c, (jnp.sum(c * c, 0) - r * r)[None],
-            _feature_rows(scene, s.mat_id)], 0)
-        sph = _pad_cols(sph, CHUNK, 0.0)
+            _feature_rows(scene, s.mat_id[order]), orig], 0)
+        sph = _pad_cols(sph, SPH_CHUNK, 0.0)
         sph = sph.at[3, n_s:].set(3e38)                    # pad -> disc < 0
+        # per-chunk AABBs (pad entries get inverted boxes -> never expand)
+        lo = _pad_cols((c - r[None]), SPH_CHUNK, 3e38)
+        hi = _pad_cols((c + r[None]), SPH_CHUNK, -3e38)
+        k = lo.shape[1] // SPH_CHUNK
+        cull = jnp.concatenate([
+            lo.reshape(3, k, SPH_CHUNK).min(2),
+            hi.reshape(3, k, SPH_CHUNK).max(2)], 0)        # (6, k)
     else:
-        sph = jnp.zeros((4 + N_FEAT, CHUNK), jnp.float32).at[3, :].set(3e38)
+        sph = jnp.zeros((5 + N_FEAT, SPH_CHUNK), jnp.float32).at[3, :].set(3e38)
+        cull = jnp.concatenate([jnp.full((3, 1), 3e38),
+                                jnp.full((3, 1), -3e38)], 0)
 
     rct = scene.rects
     n_r = rct.k.shape[0]
@@ -140,13 +177,47 @@ def pack_tables(scene: Scene):
         tri = _pad_cols(tri, CHUNK, 0.0)                   # zeros -> div = 0
     else:
         tri = jnp.zeros((25 + N_FEAT, CHUNK), jnp.float32)
-    return sph, rec, tri
+    return sph, rec, tri, cull
 
 
 # ----------------------------------------------------------------- kernel
 
+def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
+    """Fold one chunk's t-matrix into the running best, extracting the
+    winner's geometry + material features.
+
+    ``plane_block`` is an (R, C) slice of the table; its winner values land
+    in ``plane_slots`` via ONE onehot @ block^T matmul on the MXU (replacing
+    R separate VPU reductions). ``computed`` maps slot -> per-pair (T, C)
+    arrays (triangle barycentrics) reduced on the VPU. Pure: carry is
+    (best_t, best_ty, best_ix, best_data-(T,N_SLOTS))."""
+    best_t, best_ty, best_ix, best_data = carry
+    tt = jnp.where(ok, t, BIG)
+    m = jnp.min(tt, axis=1, keepdims=True)                  # (T,1)
+    col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1).astype(jnp.float32)
+    midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
+    better = m < best_t
+    onehot = (col == midx).astype(jnp.float32)              # (T,C)
+    vals = jax.lax.dot_general(                             # (T,R) MXU
+        onehot, plane_block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    cols = [None] * N_SLOTS
+    for r, slot in enumerate(plane_slots):
+        cols[slot] = vals[:, r:r + 1]
+    for slot, arr in computed:
+        cols[slot] = jnp.sum(onehot * arr, axis=1, keepdims=True)
+    assembled = jnp.concatenate(
+        [c if c is not None else jnp.zeros_like(m) for c in cols], axis=1)
+    best_data = jnp.where(better, assembled, best_data)
+    best_t = jnp.where(better, m, best_t)
+    best_ty = jnp.where(better, float(code), best_ty)
+    best_ix = jnp.where(better, midx + base, best_ix)
+    return best_t, best_ty, best_ix, best_data
+
+
 def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
-                    sph_ref, rect_ref, tri_ref,
+                    sph_ref, rect_ref, tri_ref, cull_ref,
                     t_out, ty_out, ix_out, data_out,
                     *, n_sph: int, n_rect: int, n_tri: int):
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
@@ -155,62 +226,59 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
     tmax = tmax_ref[:]
 
     best_t = jnp.minimum(tmax, BIG)
-    best_ty = jnp.full_like(best_t, -1.0)
-    best_ix = jnp.full_like(best_t, -1.0)
-    best_data = [jnp.zeros_like(best_t) for _ in range(N_SLOTS)]
+    carry = (best_t, jnp.full_like(best_t, -1.0),
+             jnp.full_like(best_t, -1.0),
+             jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
 
     a = dx * dx + dy * dy + dz * dz                             # (T,1)
     inv_a = 1.0 / a
     o_dot_d = ox * dx + oy * dy + oz * dz
     o_sq = ox * ox + oy * oy + oz * oz
+    big_inv = 1e30
+    inv_dx = jnp.where(jnp.abs(dx) > 1e-30, 1.0 / dx, big_inv)
+    inv_dy = jnp.where(jnp.abs(dy) > 1e-30, 1.0 / dy, big_inv)
+    inv_dz = jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv)
 
-    def consider(t, ok, base, code, plane_block, plane_slots, computed):
-        """Fold one chunk's t-matrix into the running best, extracting the
-        winner's geometry + material features.
+    # -------------------------------------- spheres, chunk-culled
+    sphere_slots = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS))
+                    + [14])  # geometry, features, original index
 
-        ``plane_block`` is an (R, C) slice of the table; its winner values
-        land in ``plane_slots`` via ONE onehot @ block^T matmul on the MXU
-        (replacing R separate VPU reductions). ``computed`` maps slot ->
-        per-pair (T, C) arrays (triangle barycentrics) reduced on the VPU."""
-        nonlocal best_t, best_ty, best_ix, best_data
-        tt = jnp.where(ok, t, BIG)
-        m = jnp.min(tt, axis=1, keepdims=True)                  # (T,1)
-        col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1).astype(jnp.float32)
-        midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
-        better = m < best_t
-        onehot = (col == midx).astype(jnp.float32)              # (T,C)
-        vals = jax.lax.dot_general(                             # (T,R) MXU
-            onehot, plane_block,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        for r, slot in enumerate(plane_slots):
-            best_data[slot] = jnp.where(better, vals[:, r:r + 1],
-                                        best_data[slot])
-        for slot, arr in computed:
-            val = jnp.sum(onehot * arr, axis=1, keepdims=True)  # (T,1)
-            best_data[slot] = jnp.where(better, val, best_data[slot])
-        best_t = jnp.where(better, m, best_t)
-        best_ty = jnp.where(better, float(code), best_ty)
-        best_ix = jnp.where(better, midx + base, best_ix)
+    for j in range(0, n_sph, SPH_CHUNK):
+        jc = j // SPH_CHUNK
+        # slab test of the whole ray tile vs this chunk's AABB
+        t0x = (cull_ref[0, jc] - ox) * inv_dx
+        t1x = (cull_ref[3, jc] - ox) * inv_dx
+        t0y = (cull_ref[1, jc] - oy) * inv_dy
+        t1y = (cull_ref[4, jc] - oy) * inv_dy
+        t0z = (cull_ref[2, jc] - oz) * inv_dz
+        t1z = (cull_ref[5, jc] - oz) * inv_dz
+        enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+        leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z),
+                                        jnp.minimum(carry[0], tmax)))
+        any_hit = jnp.any(enter <= leave)
 
-    # ------------------------------------------------- spheres (5, S)
-    for j in range(0, n_sph, CHUNK):
-        cx = sph_ref[0:1, j:j + CHUNK]                          # (1,C)
-        cy = sph_ref[1:2, j:j + CHUNK]
-        cz = sph_ref[2:3, j:j + CHUNK]
-        csq = sph_ref[3:4, j:j + CHUNK]
-        half_b = o_dot_d - (dx * cx + dy * cy + dz * cz)        # (T,C)
-        c_term = o_sq - 2.0 * (ox * cx + oy * cy + oz * cz) + csq
-        disc = half_b * half_b - a * c_term
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        r1 = (-half_b - sq) * inv_a
-        r2 = (-half_b + sq) * inv_a
-        ok1 = (r1 >= tmin) & (r1 <= tmax)
-        ok2 = (r2 >= tmin) & (r2 <= tmax)
-        t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
-        consider(t, (disc >= 0.0), float(j), PRIM_SPHERE,
-                 sph_ref[:, j:j + CHUNK],
-                 list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
+        def chunk_body(c, j=j):
+            cx = sph_ref[0:1, j:j + SPH_CHUNK]                  # (1,C)
+            cy = sph_ref[1:2, j:j + SPH_CHUNK]
+            cz = sph_ref[2:3, j:j + SPH_CHUNK]
+            csq = sph_ref[3:4, j:j + SPH_CHUNK]
+            half_b = o_dot_d - (dx * cx + dy * cy + dz * cz)    # (T,C)
+            c_term = o_sq - 2.0 * (ox * cx + oy * cy + oz * cz) + csq
+            disc = half_b * half_b - a * c_term
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r1 = (-half_b - sq) * inv_a
+            r2 = (-half_b + sq) * inv_a
+            ok1 = (r1 >= tmin) & (r1 <= tmax)
+            ok2 = (r2 >= tmin) & (r2 <= tmax)
+            t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+            return _fold(c, t, (disc >= 0.0), float(j), PRIM_SPHERE,
+                         sph_ref[:, j:j + SPH_CHUNK], sphere_slots, [])
+
+        carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
 
     # -------------------------------------------------- rects (15, R)
     for j in range(0, n_rect, CHUNK):
@@ -224,9 +292,9 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
         pb = (ox * bx + oy * by + oz * bz) + t * (dx * bx + dy * by + dz * bz)
         ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
               & (t >= tmin) & (t <= tmax))
-        consider(t, ok, float(j), PRIM_RECT,
-                 rect_ref[:, j:j + CHUNK],
-                 list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
+        carry = _fold(carry, t, ok, float(j), PRIM_RECT,
+                      rect_ref[:, j:j + CHUNK],
+                      list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
 
     # ---------------------------------------------- triangles (26, T)
     oxd_x = oy * dz - oz * dy                                   # (T,1)
@@ -248,22 +316,25 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
               & (b1 + b2 <= 1.0) & (t >= tmin) & (t <= tmax))
         # winner geometry slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz]; the
         # barycentrics are per-pair computed values -> VPU reductions
-        consider(t, ok, float(j), PRIM_TRIANGLE,
-                 tri_ref[16:, j:j + CHUNK],
-                 list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
-                 [(0, b1), (1, b2)])
+        carry = _fold(carry, t, ok, float(j), PRIM_TRIANGLE,
+                      tri_ref[16:, j:j + CHUNK],
+                      list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
+                      [(0, b1), (1, b2)])
 
+    best_t, best_ty, best_ix, best_data = carry
     miss = best_ty < 0.0
+    # spheres are Morton-reordered; slot 14 carries the original index
+    best_ix = jnp.where(best_ty == float(PRIM_SPHERE),
+                        best_data[:, 14:15], best_ix)
     t_out[:] = jnp.where(miss, BIG, best_t)  # mapped to +inf by the wrapper
     ty_out[:] = best_ty.astype(jnp.int32)
     ix_out[:] = best_ix.astype(jnp.int32)
-    for i in range(N_SLOTS):
-        data_out[:, i:i + 1] = best_data[i]
+    data_out[:] = best_data
 
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_kernel(o, d, tmin, tmax, sph, rect, tri, *,
+def _call_kernel(o, d, tmin, tmax, sph, rect, tri, cull, *,
                  n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
@@ -291,6 +362,7 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -309,20 +381,20 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, *,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, tmax, sph, rect, tri)
+    )(o, d, tmin, tmax, sph, rect, tri, cull)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
 
 def _run(scene: Scene, o, d, t_min, t_max):
-    sph, rect, tri = pack_tables(scene)
+    sph, rect, tri, cull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
     interpret = jax.default_backend() != "tpu"
     return _call_kernel(
-        o, d, tmin, tmax, sph, rect, tri,
+        o, d, tmin, tmax, sph, rect, tri, cull,
         n_sph=sph.shape[1], n_rect=rect.shape[1], n_tri=tri.shape[1],
         interpret=interpret)
 

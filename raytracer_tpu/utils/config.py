@@ -57,6 +57,9 @@ class RenderConfig:
     t_min: float = 1e-3
     spawn_eps_rel: float = 1e-4
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Unbiased Russian-roulette path termination in the path tracer
+    # (variance/throughput tradeoff; the reference PT-walk has none)
+    russian_roulette: bool = True
     sppm: SPPMConfig = dataclasses.field(default_factory=SPPMConfig)
     # Intersection strategy: "auto" picks brute force for small scenes and
     # BVH traversal for large ones (threshold below).
