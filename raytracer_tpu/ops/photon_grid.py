@@ -89,39 +89,41 @@ def query_grid(grid: PhotonGrid, res: Tuple[int, int, int], points, radius,
     _, ci = _cell_ids(points, grid.bmin, grid.inv_cell, res)
     r2 = radius * radius
     cap2 = cap_radius * cap_radius
-
-    flux_r = jnp.zeros((n, 3), jnp.float32)
-    cnt_r = jnp.zeros((n,), jnp.float32)
-    flux_cap = jnp.zeros((n, 3), jnp.float32)
-    cnt_cap = jnp.zeros((n,), jnp.float32)
-
     res_arr = jnp.asarray(res, jnp.int32)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                cc = ci + jnp.asarray([dx, dy, dz], jnp.int32)
-                in_grid = jnp.all((cc >= 0) & (cc < res_arr), axis=-1)
-                cid = (cc[:, 0] * res[1] + cc[:, 1]) * res[2] + cc[:, 2]
-                cid = jnp.clip(cid, 0, n_cells - 1)
-                start = grid.cell_start[cid]
-                end = grid.cell_start[cid + 1]
-                idx = start[:, None] + jnp.arange(k_per_cell, dtype=jnp.int32)[None]
-                m = (idx < end[:, None]) & in_grid[:, None]
-                idx = jnp.clip(idx, 0, max(p_total - 1, 0))
-                ppos = grid.pos[idx]                      # (N, K, 3)
-                ppow = grid.power[idx]
-                pnrm = grid.norm[idx]
-                delta = ppos - points[:, None, :]
-                d2 = jnp.sum(delta * delta, axis=-1)
-                disk = jnp.abs(jnp.sum(pnrm * vec.unit(delta), axis=-1))
-                w = (1.0 - disk)[..., None] * ppow        # (N, K, 3)
-                in_r = m & (d2 <= r2[:, None])
-                in_cap = m & (d2 <= cap2)
-                flux_r += jnp.sum(jnp.where(in_r[..., None], w, 0.0), axis=1)
-                cnt_r += jnp.sum(in_r, axis=1)
-                flux_cap += jnp.sum(jnp.where(in_cap[..., None], w, 0.0), axis=1)
-                cnt_cap += jnp.sum(in_cap, axis=1)
 
+    # All 27 neighbor offsets in one fused pass (a python loop over offsets
+    # compiles to thousands of tiny serialized kernels — launch-bound).
+    offs = jnp.asarray([(dx, dy, dz)
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                        for dz in (-1, 0, 1)], jnp.int32)        # (27, 3)
+    cc = ci[:, None, :] + offs[None]                             # (N, 27, 3)
+    in_grid = jnp.all((cc >= 0) & (cc < res_arr), axis=-1)       # (N, 27)
+    cid = (cc[..., 0] * res[1] + cc[..., 1]) * res[2] + cc[..., 2]
+    cid = jnp.clip(cid, 0, n_cells - 1)
+    start = grid.cell_start[cid]                                 # (N, 27)
+    end = grid.cell_start[cid + 1]
+    k_ar = jnp.arange(k_per_cell, dtype=jnp.int32)
+    idx = (start[..., None] + k_ar[None, None]).reshape(n, -1)   # (N, 27K)
+    m = ((start[..., None] + k_ar[None, None])
+         < end[..., None]) & in_grid[..., None]                  # (N,27,K)
+    m = m.reshape(n, -1)
+    # masked lanes fetch row 0 (single hot line instead of junk rows)
+    idx = jnp.where(m, jnp.clip(idx, 0, max(p_total - 1, 0)), 0)
+
+    ppos = grid.pos[idx]                                         # (N, 27K, 3)
+    ppow = grid.power[idx]
+    pnrm = grid.norm[idx]
+    delta = ppos - points[:, None, :]
+    d2 = jnp.sum(delta * delta, axis=-1)
+    disk = jnp.abs(jnp.sum(pnrm * vec.unit(delta), axis=-1))
+    w = (1.0 - disk)[..., None] * ppow                           # (N, 27K, 3)
+    in_r = m & (d2 <= r2[:, None])
+    in_cap = m & (d2 <= cap2)
+    flux_r = jnp.sum(jnp.where(in_r[..., None], w, 0.0), axis=1)
+    cnt_r = jnp.sum(in_r, axis=1).astype(jnp.float32)
+    flux_cap = jnp.sum(jnp.where(in_cap[..., None], w, 0.0), axis=1)
+    cnt_cap = jnp.sum(in_cap, axis=1).astype(jnp.float32)
     return QueryResult(flux_r, cnt_r, flux_cap, cnt_cap)
 
 
