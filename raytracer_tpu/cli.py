@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume SPPM from a checkpoint file")
     r.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace")
+    r.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the sanitizer analog — the "
+                        "reference relies on Rust safety + clippy only)")
     return p
 
 
@@ -70,6 +73,8 @@ def cmd_render(args) -> int:
     import jax
     import numpy as np
     from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     from raytracer_tpu.utils.image import save_render
     from raytracer_tpu.utils.timing import StageTimer, maybe_profile
 

@@ -39,9 +39,6 @@ from raytracer_tpu.models.camera import camera_rays
 from raytracer_tpu.models.path_tracer import hit_and_attrs, spawn_origin
 from raytracer_tpu.ops import materials as mat_ops
 from raytracer_tpu.ops import photon_grid as pg
-from raytracer_tpu.ops import vec
-from raytracer_tpu.ops.dispatch import intersect_scene
-from raytracer_tpu.ops.intersect import hit_attributes
 from raytracer_tpu.ops.lights import emit_photons
 from raytracer_tpu.scene.types import (
     INTER_ABSORB, INTER_DIFFUSE, Scene,
