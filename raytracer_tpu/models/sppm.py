@@ -221,6 +221,101 @@ def _update_half(half: SPPMHalf, pts: MeasurePoints, q: pg.QueryResult,
 # -------------------------------------------------------------- iteration
 
 @functools.partial(jax.jit, static_argnames=(
+    "n_photons", "max_photon_bounces", "grid_res", "intersector"))
+def photon_grids(scene: Scene, key, iteration, *, n_photons,
+                 max_photon_bounces, grid_res, photon_t_min, spawn_eps_rel,
+                 intersector="auto"):
+    """Photon pass + both grid builds as ONE device dispatch (fast)."""
+    spawn_eps = spawn_eps_rel * scene.scale
+    k_ph = jax.random.split(jax.random.fold_in(key, iteration))[0]
+    pos, power, norm, valid, caustic = trace_photon_deposits(
+        scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
+        intersector)
+    g_grid = pg.build_grid(pos, power, norm, valid,
+                           scene.bounds_min, scene.bounds_max, grid_res)
+    c_grid = pg.build_grid(pos, power, norm, valid & caustic,
+                           scene.bounds_min, scene.bounds_max, grid_res)
+    return g_grid, c_grid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "max_camera_bounces", "grid_res", "k_per_cell",
+    "intersector", "query_chunk"))
+def measure_update_block(scene: Scene, glob: SPPMHalf, caus: SPPMHalf,
+                         g_grid, c_grid, pixel_ids, key, iteration, *,
+                         width, height, max_camera_bounces, grid_res,
+                         k_per_cell, alpha, k_global, k_caustic, t_min,
+                         spawn_eps_rel, intersector="auto",
+                         query_chunk=2048):
+    """Measurement + stat update for one pixel block (one dispatch —
+    keeps single-dispatch time bounded for large images; the TPU tunnel
+    kills dispatches much longer than ~2 minutes)."""
+    spawn_eps = spawn_eps_rel * scene.scale
+    k_meas = jax.random.split(jax.random.fold_in(key, iteration))[1]
+    k_meas = jax.random.fold_in(k_meas, pixel_ids[0])
+    pts = measurement_pass(scene, k_meas, pixel_ids, width, height,
+                           max_camera_bounces, t_min, spawn_eps, intersector)
+    extent = jnp.maximum(scene.bounds_max - scene.bounds_min, 1e-6)
+    cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
+    rg = jnp.minimum(jnp.sqrt(jnp.maximum(glob.radius2, 0.0)), cap_radius)
+    rg = jnp.where(glob.photons > 0, rg, cap_radius)
+    qg = pg.query_grid_chunked(g_grid, grid_res, pts.p, rg, cap_radius,
+                               k_per_cell, query_chunk)
+    glob = _update_half(glob, pts, qg, k_global, alpha, cap_radius)
+    rc = jnp.minimum(jnp.sqrt(jnp.maximum(caus.radius2, 0.0)), cap_radius)
+    rc = jnp.where(caus.photons > 0, rc, cap_radius)
+    qc = pg.query_grid_chunked(c_grid, grid_res, pts.p, rc, cap_radius,
+                               k_per_cell, query_chunk)
+    caus = _update_half(caus, pts, qc, k_caustic, alpha, cap_radius)
+    return glob, caus
+
+
+def sppm_iteration_blocked(scene: Scene, state: SPPMState, key, *,
+                           pixel_block: int, **kw) -> SPPMState:
+    """Host-orchestrated iteration: one photon dispatch + one dispatch per
+    pixel block. Numerically identical state evolution to sppm_iteration up
+    to the per-block measurement keys."""
+    width, height = kw["width"], kw["height"]
+    npix = width * height
+    g_grid, c_grid = photon_grids(
+        scene, key, state.iteration, n_photons=kw["n_photons"],
+        max_photon_bounces=kw["max_photon_bounces"], grid_res=kw["grid_res"],
+        photon_t_min=kw["photon_t_min"], spawn_eps_rel=kw["spawn_eps_rel"],
+        intersector=kw["intersector"])
+    glob, caus = state.glob, state.caustic
+    mu_kw = dict(width=width, height=height,
+                 max_camera_bounces=kw["max_camera_bounces"],
+                 grid_res=kw["grid_res"], k_per_cell=kw["k_per_cell"],
+                 alpha=kw["alpha"], k_global=kw["k_global"],
+                 k_caustic=kw["k_caustic"], t_min=kw["t_min"],
+                 spawn_eps_rel=kw["spawn_eps_rel"],
+                 intersector=kw["intersector"],
+                 query_chunk=kw.get("query_chunk", 2048))
+    # pad so every block has the same (static) width
+    blocks = [(lo, min(lo + pixel_block, npix))
+              for lo in range(0, npix, pixel_block)]
+    g_parts, c_parts = [], []
+    for lo, hi in blocks:
+        ids = jnp.arange(lo, lo + pixel_block, dtype=jnp.int32)
+        ids = jnp.minimum(ids, npix - 1)  # tail pad repeats the last pixel
+        gb = SPPMHalf(*[x[lo:lo + pixel_block] if x.shape[0] >= lo + pixel_block
+                        else jnp.pad(x[lo:], [(0, lo + pixel_block - npix)]
+                                     + [(0, 0)] * (x.ndim - 1))
+                        for x in glob])
+        cb = SPPMHalf(*[x[lo:lo + pixel_block] if x.shape[0] >= lo + pixel_block
+                        else jnp.pad(x[lo:], [(0, lo + pixel_block - npix)]
+                                     + [(0, 0)] * (x.ndim - 1))
+                        for x in caus])
+        gb2, cb2 = measure_update_block(
+            scene, gb, cb, g_grid, c_grid, ids, key, state.iteration, **mu_kw)
+        g_parts.append(jax.tree_util.tree_map(lambda x: x[:hi - lo], gb2))
+        c_parts.append(jax.tree_util.tree_map(lambda x: x[:hi - lo], cb2))
+    glob = SPPMHalf(*[jnp.concatenate(xs) for xs in zip(*g_parts)])
+    caus = SPPMHalf(*[jnp.concatenate(xs) for xs in zip(*c_parts)])
+    return SPPMState(glob, caus, state.iteration + 1)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "width", "height", "n_photons", "max_photon_bounces",
     "max_camera_bounces", "grid_res", "k_per_cell", "intersector",
     "query_chunk"))
@@ -361,19 +456,24 @@ def render(scene: Scene, config: RenderConfig, key,
     grid_res, _ = pg.choose_grid_resolution(
         scene.bounds_min, scene.bounds_max, sp.photons_per_iter, sp.k_global)
 
+    kw = dict(
+        width=config.width, height=config.height,
+        n_photons=sp.photons_per_iter,
+        max_photon_bounces=sp.max_photon_bounces,
+        max_camera_bounces=sp.max_camera_bounces,
+        grid_res=grid_res, k_per_cell=sp.max_photons_per_cell,
+        alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
+        t_min=config.t_min, photon_t_min=1e-4,
+        spawn_eps_rel=config.spawn_eps_rel,
+        intersector=config.intersector)
+    blocked = npix > sp.pixel_block
     start = int(state.iteration)
     for _ in range(start, sp.n_iterations):
-        state = sppm_iteration(
-            scene, state, key,
-            width=config.width, height=config.height,
-            n_photons=sp.photons_per_iter,
-            max_photon_bounces=sp.max_photon_bounces,
-            max_camera_bounces=sp.max_camera_bounces,
-            grid_res=grid_res, k_per_cell=sp.max_photons_per_cell,
-            alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
-            t_min=config.t_min, photon_t_min=1e-4,
-            spawn_eps_rel=config.spawn_eps_rel,
-            intersector=config.intersector)
+        if blocked:
+            state = sppm_iteration_blocked(scene, state, key,
+                                           pixel_block=sp.pixel_block, **kw)
+        else:
+            state = sppm_iteration(scene, state, key, **kw)
         if checkpoint_cb is not None:
             checkpoint_cb(state)
 

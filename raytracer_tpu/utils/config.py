@@ -33,6 +33,9 @@ class SPPMConfig:
     # Uniform-grid photon map (TPU replacement for the kd-tree):
     grid_table_size: int = 1 << 20   # hashed cell table entries
     max_photons_per_cell: int = 64   # gather cap per neighbor cell
+    # Measurement/update dispatches are split into pixel blocks of this size
+    # for large images (single dispatches >~2min can crash the TPU worker)
+    pixel_block: int = 1 << 18
 
 
 @dataclasses.dataclass(frozen=True)
