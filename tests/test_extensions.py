@@ -189,6 +189,27 @@ class TestMotionBlur:
         assert row[right].max() > 0.05          # smear reaches the right
         assert row[left].max() < row_s[left].max()  # per-column dimmer
 
+    def test_exact_time_intersection(self):
+        """At time t the sphere center is c + v*t — verify the quadratic's
+        expanded motion terms give the exact hit distance."""
+        import jax.numpy as jnp
+        b = SceneBuilder()
+        m = b.lambertian(b.constant_texture((1, 1, 1)))
+        b.add_moving_sphere((0, 0, -5), (4, 0, -5), 1.0, m)  # v = (4,0,0)
+        b.set_camera((0, 0, 0), (0, 0, -1), time0=0.0, time1=1.0)
+        scene = b.compile()
+        # at t=0.5 center is (2,0,-5); aim straight at it
+        o = jnp.array([[2.0, 0.0, 0.0]], jnp.float32)
+        d = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+        t_ray = jnp.array([0.5], jnp.float32)
+        t0, _ = ix.sphere_closest(o, d, scene.spheres, 1e-3, jnp.inf,
+                                  time=t_ray)
+        np.testing.assert_allclose(float(t0[0]), 4.0, rtol=1e-5)
+        # at t=0 that same ray passes 2 units from the center -> miss
+        t1, _ = ix.sphere_closest(o, d, scene.spheres, 1e-3, jnp.inf,
+                                  time=jnp.zeros(1))
+        assert np.isinf(np.asarray(t1))[0]
+
     def test_zero_shutter_matches_static(self, key):
         """time0 == time1 == 0 must reproduce the static image exactly."""
         b = SceneBuilder()
