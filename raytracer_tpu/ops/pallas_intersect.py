@@ -57,9 +57,10 @@ from raytracer_tpu.scene.types import (
 TILE = 256
 CHUNK = 512        # rect/tri chunk width
 # Sphere chunk width. Finer chunks enable more selective per-chunk AABB
-# culling but add per-chunk fixed costs; wavefronts are incoherent after the
-# first bounce, so culling rarely skips and 512 (measured) wins.
-SPH_CHUNK = 512
+# culling but add per-chunk fixed costs (reductions, extraction); wavefronts
+# are incoherent after the first bounce so culling rarely skips — measured:
+# 1024 > 512 > 128 on scene_500.
+SPH_CHUNK = 1024
 N_GEO_SLOTS = 16
 N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
