@@ -232,9 +232,11 @@ def photon_grids(scene: Scene, key, iteration, *, n_photons,
         scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
         intersector)
     g_grid = pg.build_grid(pos, power, norm, valid,
-                           scene.bounds_min, scene.bounds_max, grid_res)
+                           scene.bounds_min, scene.bounds_max, grid_res,
+                           compact=True)
     c_grid = pg.build_grid(pos, power, norm, valid & caustic,
-                           scene.bounds_min, scene.bounds_max, grid_res)
+                           scene.bounds_min, scene.bounds_max, grid_res,
+                           compact=True)
     return g_grid, c_grid
 
 
@@ -334,11 +336,14 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
         scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
         intersector)
 
-    # 2. photon maps (global + caustic)
+    # 2. photon maps (global + caustic; bf16 payloads — queries are
+    #    HBM-bound on candidates)
     g_grid = pg.build_grid(pos, power, norm, valid,
-                           scene.bounds_min, scene.bounds_max, grid_res)
+                           scene.bounds_min, scene.bounds_max, grid_res,
+                           compact=True)
     c_grid = pg.build_grid(pos, power, norm, valid & caustic,
-                           scene.bounds_min, scene.bounds_max, grid_res)
+                           scene.bounds_min, scene.bounds_max, grid_res,
+                           compact=True)
 
     # 3. measurement pass
     pixel_ids = jnp.arange(npix, dtype=jnp.int32)
