@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--spp", type=int, default=256)
     r.add_argument("--spp-chunk", type=int, default=4)
     r.add_argument("--max-depth", type=int, default=50)
-    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed (default 0; on --resume the checkpoint's "
+                        "stored seed wins unless --seed is given explicitly)")
     r.add_argument("--out", default="output/test.png")
     r.add_argument("--preset", choices=["ci"], default=None,
                    help="small CI workload (replaces the reference's "
@@ -81,7 +83,8 @@ def cmd_render(args) -> int:
     timer = StageTimer()
     cfg = RenderConfig(
         width=args.width, height=args.height, samples_per_pixel=args.spp,
-        spp_chunk=args.spp_chunk, max_depth=args.max_depth, seed=args.seed,
+        spp_chunk=args.spp_chunk, max_depth=args.max_depth,
+        seed=args.seed if args.seed is not None else 0,
         intersector=args.intersector, output=args.out,
         sppm=SPPMConfig(n_iterations=args.sppm_iters,
                         photons_per_iter=args.sppm_photons,
@@ -105,7 +108,17 @@ def cmd_render(args) -> int:
             from raytracer_tpu.utils import checkpoint as ckpt
             state = None
             if args.resume:
-                state, _ = ckpt.load_state(args.resume)
+                # the stored seed reproduces the original key stream (the
+                # bit-tight resume equivalence only holds when seeds match);
+                # an explicit --seed overrides it, with a warning.
+                state, stored_seed = ckpt.load_state(args.resume)
+                if args.seed is None:
+                    cfg = cfg.replace(seed=stored_seed)
+                    key = jax.random.PRNGKey(cfg.seed)
+                elif args.seed != stored_seed:
+                    print(f"warning: --seed {args.seed} != checkpoint seed "
+                          f"{stored_seed}; resumed render will not match the "
+                          "original", file=sys.stderr)
                 print(f"resumed from {args.resume} at iteration "
                       f"{int(state.iteration)}")
             cb = None

@@ -160,8 +160,11 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
             scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
             spawn_eps=spawn_eps, intersector=intersector, time=time,
             russian_roulette=russian_roulette)
+        # rays metric = intersection calls executed; bounce 0 (all lanes
+        # alive on entry) already counts the primary rays — do not add them
+        # again.
         rad = res.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
-        return accum + rad, rays + res.rays_traced + o.shape[0]
+        return accum + rad, rays + res.rays_traced
 
     accum, rays = jax.lax.fori_loop(
         0, n_chunks, chunk, (jnp.zeros((npix, 3), jnp.float32), jnp.int32(0)))

@@ -438,8 +438,9 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
         init = S(o, d, jnp.ones_like(o), jnp.zeros_like(o), alive0,
                  jnp.int32(0), jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
         out = jax.lax.while_loop(cond, body, init)
+        # out.rays already counts bounce-0 intersections (= the primaries)
         rad = out.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
-        return accum + rad, rays + out.rays + n
+        return accum + rad, rays + out.rays
 
     accum, rays = jax.lax.fori_loop(
         0, n_chunks, chunk, (jnp.zeros((npix, 3), jnp.float32), jnp.int32(0)))
@@ -455,6 +456,11 @@ def render(scene: Scene, config: RenderConfig, key,
     """Full SPPM render: iterations + final gather. ``checkpoint_cb(state)``
     (if given) is called after every iteration with the current state."""
     sp: SPPMConfig = config.sppm
+    if scene.lights.kind.shape[0] == 0:
+        raise ValueError(
+            "SPPM requires at least one light in the scene (photon emission "
+            "has nothing to sample); use --integrator pt for light-free "
+            "scenes")
     npix = config.width * config.height
     if state is None:
         state = init_state(npix)

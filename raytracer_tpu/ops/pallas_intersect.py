@@ -199,10 +199,14 @@ def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
     midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
     better = m < best_t
     onehot = (col == midx).astype(jnp.float32)              # (T,C)
+    # precision=HIGHEST: on TPU, f32 matmuls default to bf16 passes, which
+    # would round the extracted winner geometry (e.g. 555 -> 556) and skew
+    # normals/UVs — same guard as every geometry matmul in ops/intersect.py.
     vals = jax.lax.dot_general(                             # (T,R) MXU
         onehot, plane_block,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     cols = [None] * N_SLOTS
     for r, slot in enumerate(plane_slots):
         cols[slot] = vals[:, r:r + 1]

@@ -67,18 +67,23 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
         pos, power, norm, valid, caustic = sppm_model.trace_photon_deposits(
             scene_rep, k_ph, n_ph_local, max_photon_bounces, photon_t_min,
             spawn_eps, intersector)
+        # ceil(n_photons/n_dev)*n_dev photons are actually emitted while the
+        # final gather normalizes by n_iterations*photons_per_iter — rescale
+        # the deposited power so total flux matches exactly n_photons.
+        power = power * (n_photons / (n_ph_local * n_dev))
         gather = lambda x: jax.lax.all_gather(
             x, ("px", "spp"), axis=0, tiled=True)
         pos, power, norm = gather(pos), gather(power), gather(norm)
         valid, caustic = gather(valid), gather(caustic)
 
-        # 2. replicated grids (identical on every chip)
+        # 2. replicated grids (identical on every chip; compact=True matches
+        #    the single-chip path's bf16 payloads bit-for-bit)
         g_grid = pg.build_grid(pos, power, norm, valid,
                                scene_rep.bounds_min, scene_rep.bounds_max,
-                               grid_res)
+                               grid_res, compact=True)
         c_grid = pg.build_grid(pos, power, norm, valid & caustic,
                                scene_rep.bounds_min, scene_rep.bounds_max,
-                               grid_res)
+                               grid_res, compact=True)
 
         # 3. local measurement points (pixels beyond npix are dead weight)
         pts = sppm_model.measurement_pass(

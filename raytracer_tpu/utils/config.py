@@ -31,7 +31,6 @@ class SPPMConfig:
     max_photon_bounces: int = 16  # reference loop is RR-terminated/unbounded
     max_camera_bounces: int = 50  # specular-walk cap, photon_mapper.rs:334
     # Uniform-grid photon map (TPU replacement for the kd-tree):
-    grid_table_size: int = 1 << 20   # hashed cell table entries
     max_photons_per_cell: int = 64   # gather cap per neighbor cell
     # Measurement/update dispatches are split into pixel blocks of this size
     # for large images (single dispatches >~2min can crash the TPU worker)
