@@ -89,7 +89,8 @@ def trace_photon_deposits(scene: Scene, key, n_photons: int, max_bounces: int,
 
     def step(s: S, _):
         k = jax.random.fold_in(jax.random.fold_in(key, 13), s.bounce)
-        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
+                                     alive=s.alive)
         sc, new_power = mat_ops.scatter_photon(scene, k, s.d, attrs, s.power,
                                                feats)
 
@@ -154,7 +155,8 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
 
     def body(s: S):
         k = jax.random.fold_in(k_walk, s.bounce)
-        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
+                                     alive=s.alive)
         sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
         live = s.alive & attrs.valid
         diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
@@ -413,7 +415,8 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
 
         def body(s: S):
             k = jax.random.fold_in(k_walk, s.bounce)
-            attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector)
+            attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min,
+                                         intersector, alive=s.alive)
             sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
             live = s.alive & attrs.valid
             # Le at every hit (photon_mapper.rs:341)

@@ -6,6 +6,9 @@
   whose tables fit comfortably in VMEM; interpret-mode elsewhere;
 - "bruteforce": XLA chunk-scanned linear reduction (portable reference
   implementation, used for oracles and CPU tests);
+- "leaf": leaf-culled traversal kernel (ops/pallas_bvh.py) — the production
+  path for sphere-heavy scenes; requires ``scene.leaf`` tables (attached
+  host-side by ops.pallas_bvh.with_leaf_tables);
 - "bvh": flat-BVH traversal (wins for large triangle meshes);
 - "auto": picks per the rules above at trace time (static shapes — the
   choice is baked into the jitted program).
@@ -26,6 +29,8 @@ def _resolve(scene: Scene, method: str) -> str:
         return "bruteforce"
     if method != "auto":
         return method
+    if scene.leaf is not None:
+        return "leaf"
     if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
         return "bvh"
     if scene.n_primitives <= PALLAS_MAX_PRIMS:
@@ -34,11 +39,14 @@ def _resolve(scene: Scene, method: str) -> str:
 
 
 def intersect_scene(scene: Scene, o, d, t_min, t_max,
-                    method: str = "auto", time=None) -> Hit:
+                    method: str = "auto", time=None, alive=None) -> Hit:
     method = _resolve(scene, method)
+    if method == "leaf":
+        from raytracer_tpu.ops.pallas_bvh import intersect_leaf
+        return intersect_leaf(scene, o, d, t_min, t_max, alive=alive)
     if method == "pallas":
         from raytracer_tpu.ops.pallas_intersect import intersect_pallas
-        return intersect_pallas(scene, o, d, t_min, t_max)
+        return intersect_pallas(scene, o, d, t_min, t_max, alive=alive)
     if method == "bvh":
         if scene.bvh is None:
             raise ValueError("scene has no BVH; build it with ops.bvh.build_bvh")
@@ -48,14 +56,20 @@ def intersect_scene(scene: Scene, o, d, t_min, t_max,
 
 
 def intersect_and_attrs(scene: Scene, o, d, t_min, t_max,
-                        method: str = "auto", time=None):
+                        method: str = "auto", time=None, alive=None):
     """Closest hit + HitRecord attributes (+ material features on the pallas
-    path, where the kernel extracts everything in VMEM and shading needs no
-    table access). Returns (hit, attrs, feats-or-None)."""
+    paths, where the kernel extracts everything in VMEM and shading needs no
+    table access). ``alive`` (N,) bool marks lanes the wavefront has retired;
+    the leaf kernel skips their traversal work entirely (their results are
+    arbitrary and must be masked by the caller, which retired them anyway).
+    Returns (hit, attrs, feats-or-None)."""
     from raytracer_tpu.ops.intersect import hit_attributes
     method = _resolve(scene, method)
+    if method == "leaf":
+        from raytracer_tpu.ops.pallas_bvh import intersect_leaf_full
+        return intersect_leaf_full(scene, o, d, t_min, t_max, alive=alive)
     if method == "pallas":
         from raytracer_tpu.ops.pallas_intersect import intersect_pallas_full
-        return intersect_pallas_full(scene, o, d, t_min, t_max)
+        return intersect_pallas_full(scene, o, d, t_min, t_max, alive=alive)
     hit = intersect_scene(scene, o, d, t_min, t_max, method, time=time)
     return hit, hit_attributes(scene, o, d, hit, time=time), None

@@ -1,0 +1,400 @@
+"""Pallas TPU kernel: leaf-culled sphere traversal (the in-kernel
+acceleration structure).
+
+The reference accelerates ray casts with a recursive binary BVH whose
+traversal shrinks ``t_max`` as hits are found (bvh.rs:87-101). A per-ray
+pointer-chasing descent is hostile to a lockstep vector machine, so the
+TPU-native replacement flattens the hierarchy to exactly two levels and
+makes every step dense vector work:
+
+- **Host build** (:func:`build_leaf_tables`): spheres much larger than the
+  median (e.g. scene_500's ground sphere) go to a small always-tested dense
+  table; the rest are recursively median-split on the largest-extent axis
+  into L spatial leaves of LEAF spheres with tight AABBs.
+- **Kernel walk**: per ray, slab-test ALL leaf AABBs at once — a (TILE, L)
+  vector op — then iterate: each live lane rank-selects its next K hit
+  leaves (a cumulative-sum matmul on the MXU gives every lane the rank of
+  every leaf; equality against the rank window yields exact one-hot rows),
+  gathers those leaves' sphere records with block-diagonal one-hot matmuls
+  (``kron(I_K, leaf_geo)``), and runs the quadratic sphere test on the
+  gathered (TILE, K*LEAF) candidate block. The running best t dynamically
+  culls leaves whose slab entry lies behind it (the ``t_max``-shrink
+  semantics of bvh.rs:97), and lanes the wavefront has already retired
+  contribute no leaves, so mostly-dead bounce tiles finish in one skipped
+  iteration (``lax.cond``).
+
+Versus the brute-force kernel (ops/pallas_intersect.py) this tests ~5-20x
+fewer ray/sphere pairs on scene_500-class wavefronts (measured in
+experiments/leaf_stats.py); the winner's material features are extracted
+with one final one-hot matmul so shading still needs no table gathers.
+
+Rects and triangles reuse the dense stages (their counts are small in every
+driver scene); the XLA flat-BVH path (ops/bvh.py) remains the fallback for
+huge triangle meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.ops.intersect import Hit
+from raytracer_tpu.ops.pallas_intersect import (
+    BIG, N_FEAT, N_GEO_SLOTS, N_SLOTS, TILE, _feature_rows,
+    attrs_from_winner_data, finish_carry, init_carry, pack_tables, ray_vals,
+    rect_stage, sphere_stage, tri_stage,
+)
+from raytracer_tpu.scene.types import PRIM_SPHERE, LeafTables, Scene
+
+LEAF_SIZE = 32   # spheres per leaf; K_SLOTS * LEAF_SIZE = the 128-lane window
+K_SLOTS = 4      # leaves gathered per ray per iteration
+BIG_CHUNK = 128  # dense big-sphere chunk width
+L_ALIGN = 32     # leaf-count padding multiple (keeps K*L lane-aligned)
+
+
+# ----------------------------------------------------------- host-side build
+
+def _partition_leaves(centers: np.ndarray, leaf: int):
+    """Recursive median split on the largest-extent axis; split points are
+    leaf-size multiples so every leaf but one is full. Returns index lists."""
+    out = []
+
+    def split(idx):
+        if len(idx) <= leaf:
+            out.append(idx)
+            return
+        c = centers[idx]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, ax], kind="stable")
+        h = len(idx) // 2
+        h = max(leaf, min(len(idx) - leaf, -(-h // leaf) * leaf))
+        split(idx[order[:h]])
+        split(idx[order[h:]])
+
+    split(np.arange(centers.shape[0]))
+    return out
+
+
+def build_leaf_tables(scene: Scene, leaf_size: int = LEAF_SIZE,
+                      k_slots: int = K_SLOTS,
+                      big_factor: float = 20.0) -> LeafTables:
+    """Build the LeafTables pytree (host, numpy — run once per scene,
+    outside jit; shapes are static)."""
+    s = scene.spheres
+    centers = np.asarray(s.center, np.float64)
+    radii = np.abs(np.asarray(s.radius, np.float64))
+    mat_id = np.asarray(s.mat_id)
+    n = radii.shape[0]
+    if n == 0:
+        raise ValueError("leaf tables need at least one sphere")
+
+    big = radii > big_factor * max(np.median(radii), 1e-12)
+    small_ix = np.where(~big)[0]
+    big_ix = np.where(big)[0]
+
+    feats_all = np.asarray(_feature_rows(scene, jnp.asarray(mat_id)),
+                           np.float32)                      # (12, n)
+
+    def planes(ix):
+        """17-row component planes [cx cy cz csq | feats | orig idx]."""
+        c = centers[ix].T
+        csq = (c * c).sum(0) - radii[ix] ** 2
+        return np.concatenate([
+            c, csq[None], feats_all[:, ix], ix[None].astype(np.float64),
+        ], 0).astype(np.float32)
+
+    # ---- dense big-sphere table (chunked like the brute-force kernel)
+    nb = len(big_ix)
+    b_pad = max(BIG_CHUNK, -(-nb // BIG_CHUNK) * BIG_CHUNK)
+    big_tab = np.zeros((17, b_pad), np.float32)
+    big_tab[3, :] = 3e38                                    # pad: disc < 0
+    if nb:
+        big_tab[:, :nb] = planes(big_ix)
+    n_chunks = b_pad // BIG_CHUNK
+    big_cull = np.zeros((6, n_chunks), np.float32)
+    big_cull[:3] = 3e38
+    big_cull[3:] = -3e38                                    # inverted: skip
+    for j in range(n_chunks):
+        ix = big_ix[j * BIG_CHUNK:(j + 1) * BIG_CHUNK]
+        if len(ix):
+            big_cull[:3, j] = (centers[ix] - radii[ix, None]).min(0)
+            big_cull[3:, j] = (centers[ix] + radii[ix, None]).max(0)
+
+    # ---- leaves over the small spheres
+    leaves = _partition_leaves(centers[small_ix], leaf_size)
+    n_leaf = len(leaves)
+    l_pad = max(L_ALIGN, -(-n_leaf // L_ALIGN) * L_ALIGN)
+
+    aabb = np.zeros((6, l_pad), np.float32)
+    aabb[:3] = 3e38                                         # empty: never hit
+    aabb[3:] = -3e38
+    table = np.zeros((17, l_pad * leaf_size), np.float32)
+    table[3, :] = 3e38                                      # pad: disc < 0
+    geo = np.zeros((5, l_pad, leaf_size), np.float32)       # cx cy cz csq id+1
+    geo[3] = 3e38
+    for li, rel in enumerate(leaves):
+        ix = small_ix[rel]
+        aabb[:3, li] = (centers[ix] - radii[ix, None]).min(0)
+        aabb[3:, li] = (centers[ix] + radii[ix, None]).max(0)
+        cols = li * leaf_size + np.arange(len(ix))
+        table[:, cols] = planes(ix)
+        geo[:4, li, :len(ix)] = table[:4, cols]
+        geo[4, li, :len(ix)] = cols + 1.0                   # 0 = empty slot
+
+    kron = np.stack([np.kron(np.eye(k_slots, dtype=np.float32), geo[c])
+                     for c in range(5)], 0)                 # (5, K*L, K*LEAF)
+    # two-term bf16 split: hi + mid sums back to 16 mantissa bits of the
+    # f32 value — one MXU pass per term instead of HIGHEST's six
+    import jax.numpy as _jnp
+    hi = np.asarray(_jnp.asarray(kron, _jnp.bfloat16))
+    mid = np.asarray(_jnp.asarray(
+        kron - np.asarray(hi, np.float32), _jnp.bfloat16))
+    kron2 = np.stack([hi, mid], 0)                          # (2, 5, KL, KLEAF)
+    return LeafTables(
+        aabb=jnp.asarray(aabb), kron=jnp.asarray(kron2, jnp.bfloat16),
+        table=jnp.asarray(table), big=jnp.asarray(big_tab),
+        big_cull=jnp.asarray(big_cull))
+
+
+def with_leaf_tables(scene: Scene, min_spheres: int = 256,
+                     leaf_size: int = LEAF_SIZE) -> Scene:
+    """Attach leaf tables when the scene profits from them (many spheres, no
+    motion blur). No-op otherwise, and never rebuilds existing tables."""
+    if scene.leaf is not None:
+        return scene
+    if scene.spheres.motion_marker.shape[0]:
+        return scene
+    if scene.spheres.radius.shape[0] < min_spheres:
+        return scene
+    return scene._replace(leaf=build_leaf_tables(scene, leaf_size=leaf_size))
+
+
+# ------------------------------------------------------------------- kernel
+
+def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
+                 big_ref, bigcull_ref, rect_ref, tri_ref,
+                 aabb_ref, kron_ref, table_ref,
+                 t_out, ty_out, ix_out, data_out,
+                 *, n_big: int, n_rect: int, n_tri: int,
+                 n_leaf: int, leaf: int, k_slots: int):
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    # whole-tile skip for fully-retired tiles: a value-returning cond keeps
+    # the output writes unconditional (conditional ref stores stall the
+    # Mosaic output pipeline)
+    any_alive = jnp.any(alive_ref[:] > 0.5)
+
+    def dense(carry):
+        # dense stages first: their hits (e.g. the ground sphere) bound t
+        # and cull leaves in the walk below
+        carry = sphere_stage(carry, rv, big_ref, bigcull_ref, n_big,
+                             chunk=BIG_CHUNK)
+        carry = rect_stage(carry, rv, rect_ref, n_rect)
+        carry = tri_stage(carry, rv, tri_ref, n_tri)
+        return carry
+
+    carry = jax.lax.cond(any_alive, dense, lambda c: c, init_carry(rv))
+    best_t, best_ty, best_ix, best_data = carry
+
+    n = best_t.shape[0]
+    kl = k_slots * n_leaf
+    kw = k_slots * leaf
+
+    # slab-test every leaf at once: (TILE, L)
+    t0x = (aabb_ref[0:1, :] - rv.ox) * rv.inv_dx
+    t1x = (aabb_ref[3:4, :] - rv.ox) * rv.inv_dx
+    t0y = (aabb_ref[1:2, :] - rv.oy) * rv.inv_dy
+    t1y = (aabb_ref[4:5, :] - rv.oy) * rv.inv_dy
+    t0z = (aabb_ref[2:3, :] - rv.oz) * rv.inv_dz
+    t1z = (aabb_ref[5:6, :] - rv.oz) * rv.inv_dz
+    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+    leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), rv.tmax))
+    alive = alive_ref[:] > 0.5
+    maskb = (enter <= leave) & alive
+    entry = jnp.where(maskb, enter, BIG)
+    # the iteration state rides lax.cond; Mosaic cannot yield i1 vectors
+    # from scf.if, so the mask travels as f32 0/1
+    mask0 = maskb.astype(jnp.float32)
+
+    # rank machinery: cs = mask @ lower-tri gives each leaf's 1-based rank
+    # among the lane's active leaves (exact: small ints, f32 accumulate)
+    rl = jax.lax.broadcasted_iota(jnp.int32, (n_leaf, n_leaf), 0)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (n_leaf, n_leaf), 1)
+    ltm = (rl <= cl).astype(jnp.float32)
+    rank_tgt = (jax.lax.broadcasted_iota(jnp.int32, (n, kl), 1)
+                // n_leaf + 1).astype(jnp.float32)
+
+    def cull(st):
+        m, lt, lc = st
+        return (jnp.where(entry < lt, m, 0.0), lt, lc)
+
+    def it_body(st):
+        maskf, lt, lcol = st
+        cs = jax.lax.dot_general(maskf, ltm, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cs_t = jnp.concatenate([cs] * k_slots, axis=1)          # (T, K*L)
+        mask_t = jnp.concatenate([maskf] * k_slots, axis=1)
+        sel = jnp.where(cs_t == rank_tgt, mask_t, 0.0).astype(jnp.bfloat16)
+        # block-diagonal one-hot gathers, one bf16 MXU pass per split term
+        # (16-bit candidate precision; the winner is re-derived exactly from
+        # the f32 table below)
+        g = [jax.lax.dot_general(sel, kron_ref[term, c],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             for term in range(2) for c in range(5)]
+        cx, cy, cz, csq, gid = [g[c] + g[5 + c] for c in range(5)]
+        half_b = rv.o_dot_d - (rv.dx * cx + rv.dy * cy + rv.dz * cz)
+        c_term = rv.o_sq - 2.0 * (rv.ox * cx + rv.oy * cy + rv.oz * cz) + csq
+        disc = half_b * half_b - rv.a * c_term
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r1 = (-half_b - sq) * rv.inv_a
+        r2 = (-half_b + sq) * rv.inv_a
+        ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
+        ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
+        tt = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+        tt = jnp.where((disc >= 0.0) & (gid > 0.5), tt, BIG)
+        m = jnp.min(tt, axis=1, keepdims=True)
+        wcol = jnp.min(jnp.where(tt <= m, gid, BIG), axis=1, keepdims=True)
+        better = m < lt
+        lt = jnp.where(better, m, lt)
+        lcol = jnp.where(better, wcol, lcol)
+        return (jnp.where(cs > float(k_slots), maskf, 0.0), lt, lcol)
+
+    state = (mask0, best_t, jnp.zeros_like(best_t))
+    for _ in range(-(-n_leaf // k_slots)):
+        state = cull(state)
+        state = jax.lax.cond(jnp.any(state[0] > 0.0), it_body,
+                             lambda s: s, state)
+    _, lt, lcol = state
+
+    # extract the leaf winner's full record with one one-hot matmul
+    leaf_won = lcol > 0.5
+    colf = jax.lax.broadcasted_iota(
+        jnp.int32, (n, n_leaf * leaf), 1).astype(jnp.float32)
+    onehot = jnp.where(colf == lcol - 1.0, 1.0, 0.0)
+    win = jax.lax.dot_general(onehot, table_ref[:, :],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # (T, 17)
+    # re-derive the winner's t from its exact f32 record (the candidate pass
+    # ran at 16-bit gather precision; nearest-root-in-range rule as above)
+    wcx, wcy, wcz, wcsq = win[:, 0:1], win[:, 1:2], win[:, 2:3], win[:, 3:4]
+    hb = rv.o_dot_d - (rv.dx * wcx + rv.dy * wcy + rv.dz * wcz)
+    ct = rv.o_sq - 2.0 * (rv.ox * wcx + rv.oy * wcy + rv.oz * wcz) + wcsq
+    disc = hb * hb - rv.a * ct
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-hb - sq) * rv.inv_a
+    r2 = (-hb + sq) * rv.inv_a
+    ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
+    lt = jnp.where(leaf_won & (disc >= 0.0), jnp.where(ok1, r1, r2), lt)
+
+    leaf_data = jnp.concatenate([
+        win[:, 0:4],                                  # slots 0-3: geometry
+        jnp.zeros((n, 10), jnp.float32),              # slots 4-13
+        win[:, 16:17],                                # slot 14: original idx
+        jnp.zeros((n, 1), jnp.float32),               # slot 15
+        win[:, 4:16],                                 # slots 16-27: features
+    ], axis=1)
+    best_data = jnp.where(leaf_won, leaf_data, best_data)
+    best_ty = jnp.where(leaf_won, float(PRIM_SPHERE), best_ty)
+    best_ix = jnp.where(leaf_won, lcol - 1.0, best_ix)
+    best_t = jnp.where(leaf_won, lt, best_t)
+    finish_carry((best_t, best_ty, best_ix, best_data),
+                 t_out, ty_out, ix_out, data_out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_big", "n_rect", "n_tri",
+                                             "n_leaf", "leaf", "k_slots",
+                                             "interpret"))
+def _call_leaf_kernel(o, d, tmin, tmax, alive, big, bigcull, rect, tri,
+                      aabb, kron, table, *,
+                      n_big, n_rect, n_tri, n_leaf, leaf, k_slots, interpret):
+    n = o.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        o = jnp.pad(o, [(0, pad), (0, 0)])
+        d = jnp.pad(d, [(0, pad), (0, 0)])   # zero dir -> all tests miss
+        tmin = jnp.pad(tmin, [(0, pad)])
+        tmax = jnp.pad(tmax, [(0, pad)])
+        alive = jnp.pad(alive, [(0, pad)])   # pad lanes are dead
+    tmin = tmin[:, None]
+    tmax = tmax[:, None]
+    alive = alive.astype(jnp.float32)[:, None]
+
+    grid = (n_pad // TILE,)
+    kernel = functools.partial(_leaf_kernel, n_big=n_big, n_rect=n_rect,
+                               n_tri=n_tri, n_leaf=n_leaf, leaf=leaf,
+                               k_slots=k_slots)
+    ray_spec = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    t, ty, ix, data = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), ray_spec(1),
+                  ray_spec(1)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[ray_spec(1), ray_spec(1), ray_spec(1), ray_spec(N_SLOTS)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, N_SLOTS), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * (40 * (n_big + k_slots * leaf * 3)
+                           + 60 * n_rect + 80 * n_tri + 14 * n_leaf),
+            bytes_accessed=n_pad * 150,
+            transcendentals=n_pad * (n_big + k_slots * leaf)),
+        interpret=interpret,
+    )(o, d, tmin, tmax, alive, big, bigcull, rect, tri, aabb, kron, table)
+    t = t[:n, 0]
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
+
+
+def _run(scene: Scene, o, d, t_min, t_max, alive=None):
+    lt = scene.leaf
+    if lt is None:
+        raise ValueError("scene has no leaf tables; call with_leaf_tables")
+    _, rect, tri, _ = pack_tables(scene)   # rect/tri planes (trace-time)
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
+    if alive is None:
+        alive = jnp.ones((n,), jnp.float32)
+    n_leaf = lt.aabb.shape[1]
+    leaf = lt.table.shape[1] // n_leaf
+    k_slots = lt.kron.shape[3] // leaf
+    interpret = jax.default_backend() != "tpu"
+    # an all-pad big table keeps its inverted chunk AABBs, so its one chunk
+    # is cond-skipped in-kernel at slab-test cost — no static flag needed
+    return _call_leaf_kernel(
+        o, d, tmin, tmax, alive, lt.big, lt.big_cull, rect, tri,
+        lt.aabb, lt.kron, lt.table,
+        n_big=lt.big.shape[1],
+        n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
+        n_leaf=n_leaf, leaf=leaf, k_slots=k_slots, interpret=interpret)
+
+
+def intersect_leaf(scene: Scene, o, d, t_min, t_max, alive=None) -> Hit:
+    """Closest hit via the leaf-traversal kernel."""
+    t, ty, ix, _ = _run(scene, o, d, t_min, t_max, alive)
+    return Hit(t, ty, ix)
+
+
+def intersect_leaf_full(scene: Scene, o, d, t_min, t_max, alive=None):
+    """One fused call: (Hit, HitAttrs, MatFeatures)."""
+    t, ty, ix, data = _run(scene, o, d, t_min, t_max, alive)
+    hit = Hit(t, ty, ix)
+    attrs, feats = attrs_from_winner_data(o, d, hit, data)
+    return hit, attrs, feats

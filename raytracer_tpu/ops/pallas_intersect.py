@@ -42,6 +42,7 @@ mode off-TPU so tests exercise the same code path.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -221,87 +222,117 @@ def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
     return best_t, best_ty, best_ix, best_data
 
 
-def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
-                    sph_ref, rect_ref, tri_ref, cull_ref,
-                    t_out, ty_out, ix_out, data_out,
-                    *, n_sph: int, n_rect: int, n_tri: int):
+class RayVals(NamedTuple):
+    """Per-ray (TILE, 1) columns shared by all kernel stages."""
+    ox: jnp.ndarray
+    oy: jnp.ndarray
+    oz: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    tmin: jnp.ndarray
+    tmax: jnp.ndarray
+    a: jnp.ndarray
+    inv_a: jnp.ndarray
+    o_dot_d: jnp.ndarray
+    o_sq: jnp.ndarray
+    inv_dx: jnp.ndarray
+    inv_dy: jnp.ndarray
+    inv_dz: jnp.ndarray
+
+
+def ray_vals(o_ref, d_ref, tmin_ref, tmax_ref) -> RayVals:
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
-    tmin = tmin_ref[:]                                          # (T,1)
-    tmax = tmax_ref[:]
-
-    best_t = jnp.minimum(tmax, BIG)
-    carry = (best_t, jnp.full_like(best_t, -1.0),
-             jnp.full_like(best_t, -1.0),
-             jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
-
     a = dx * dx + dy * dy + dz * dz                             # (T,1)
-    inv_a = 1.0 / a
-    o_dot_d = ox * dx + oy * dy + oz * dz
-    o_sq = ox * ox + oy * oy + oz * oz
     big_inv = 1e30
-    inv_dx = jnp.where(jnp.abs(dx) > 1e-30, 1.0 / dx, big_inv)
-    inv_dy = jnp.where(jnp.abs(dy) > 1e-30, 1.0 / dy, big_inv)
-    inv_dz = jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv)
+    return RayVals(
+        ox, oy, oz, dx, dy, dz, tmin_ref[:], tmax_ref[:],
+        a, 1.0 / a,
+        ox * dx + oy * dy + oz * dz,
+        ox * ox + oy * oy + oz * oz,
+        jnp.where(jnp.abs(dx) > 1e-30, 1.0 / dx, big_inv),
+        jnp.where(jnp.abs(dy) > 1e-30, 1.0 / dy, big_inv),
+        jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv))
 
-    # -------------------------------------- spheres, chunk-culled
-    sphere_slots = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS))
-                    + [14])  # geometry, features, original index
 
-    for j in range(0, n_sph, SPH_CHUNK):
-        jc = j // SPH_CHUNK
+def init_carry(rv: RayVals):
+    best_t = jnp.minimum(rv.tmax, BIG)
+    return (best_t, jnp.full_like(best_t, -1.0),
+            jnp.full_like(best_t, -1.0),
+            jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
+
+
+# slot layout for a sphere winner: geometry, features, original index
+SPHERE_SLOTS = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS)) + [14])
+
+
+def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
+                 chunk: int = SPH_CHUNK):
+    """Dense chunk-culled sphere tests (sphere.rs:24-55 math)."""
+    for j in range(0, n_sph, chunk):
+        jc = j // chunk
         # slab test of the whole ray tile vs this chunk's AABB
-        t0x = (cull_ref[0, jc] - ox) * inv_dx
-        t1x = (cull_ref[3, jc] - ox) * inv_dx
-        t0y = (cull_ref[1, jc] - oy) * inv_dy
-        t1y = (cull_ref[4, jc] - oy) * inv_dy
-        t0z = (cull_ref[2, jc] - oz) * inv_dz
-        t1z = (cull_ref[5, jc] - oz) * inv_dz
+        t0x = (cull_ref[0, jc] - rv.ox) * rv.inv_dx
+        t1x = (cull_ref[3, jc] - rv.ox) * rv.inv_dx
+        t0y = (cull_ref[1, jc] - rv.oy) * rv.inv_dy
+        t1y = (cull_ref[4, jc] - rv.oy) * rv.inv_dy
+        t0z = (cull_ref[2, jc] - rv.oz) * rv.inv_dz
+        t1z = (cull_ref[5, jc] - rv.oz) * rv.inv_dz
         enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                         jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+                            jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
         leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                         jnp.maximum(t0y, t1y)),
                             jnp.minimum(jnp.maximum(t0z, t1z),
-                                        jnp.minimum(carry[0], tmax)))
+                                        jnp.minimum(carry[0], rv.tmax)))
         any_hit = jnp.any(enter <= leave)
 
         def chunk_body(c, j=j):
-            cx = sph_ref[0:1, j:j + SPH_CHUNK]                  # (1,C)
-            cy = sph_ref[1:2, j:j + SPH_CHUNK]
-            cz = sph_ref[2:3, j:j + SPH_CHUNK]
-            csq = sph_ref[3:4, j:j + SPH_CHUNK]
-            half_b = o_dot_d - (dx * cx + dy * cy + dz * cz)    # (T,C)
-            c_term = o_sq - 2.0 * (ox * cx + oy * cy + oz * cz) + csq
-            disc = half_b * half_b - a * c_term
+            cx = sph_ref[0:1, j:j + chunk]                      # (1,C)
+            cy = sph_ref[1:2, j:j + chunk]
+            cz = sph_ref[2:3, j:j + chunk]
+            csq = sph_ref[3:4, j:j + chunk]
+            half_b = rv.o_dot_d - (rv.dx * cx + rv.dy * cy + rv.dz * cz)
+            c_term = rv.o_sq - 2.0 * (rv.ox * cx + rv.oy * cy + rv.oz * cz) + csq
+            disc = half_b * half_b - rv.a * c_term
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            r1 = (-half_b - sq) * inv_a
-            r2 = (-half_b + sq) * inv_a
-            ok1 = (r1 >= tmin) & (r1 <= tmax)
-            ok2 = (r2 >= tmin) & (r2 <= tmax)
+            r1 = (-half_b - sq) * rv.inv_a
+            r2 = (-half_b + sq) * rv.inv_a
+            ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
+            ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
             t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
             return _fold(c, t, (disc >= 0.0), float(j), PRIM_SPHERE,
-                         sph_ref[:, j:j + SPH_CHUNK], sphere_slots, [])
+                         sph_ref[:, j:j + chunk], SPHERE_SLOTS, [])
 
         carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
+    return carry
 
-    # -------------------------------------------------- rects (15, R)
+
+def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
+    """Axis-rect plane tests (rectangle.rs semantics)."""
     for j in range(0, n_rect, CHUNK):
         planes = [rect_ref[r:r + 1, j:j + CHUNK] for r in range(14 + N_FEAT)]
         (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes[:14]
-        d_n = dx * nx + dy * ny + dz * nz
-        o_n = ox * nx + oy * ny + oz * nz
+        d_n = rv.dx * nx + rv.dy * ny + rv.dz * nz
+        o_n = rv.ox * nx + rv.oy * ny + rv.oz * nz
         safe = jnp.abs(d_n) > 1e-12
         t = (k - o_n) / jnp.where(safe, d_n, 1.0)
-        pa = (ox * ax_ + oy * ay + oz * az) + t * (dx * ax_ + dy * ay + dz * az)
-        pb = (ox * bx + oy * by + oz * bz) + t * (dx * bx + dy * by + dz * bz)
+        pa = ((rv.ox * ax_ + rv.oy * ay + rv.oz * az)
+              + t * (rv.dx * ax_ + rv.dy * ay + rv.dz * az))
+        pb = ((rv.ox * bx + rv.oy * by + rv.oz * bz)
+              + t * (rv.dx * bx + rv.dy * by + rv.dz * bz))
         ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
-              & (t >= tmin) & (t <= tmax))
+              & (t >= rv.tmin) & (t <= rv.tmax))
         carry = _fold(carry, t, ok, float(j), PRIM_RECT,
                       rect_ref[:, j:j + CHUNK],
                       list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
+    return carry
 
-    # ---------------------------------------------- triangles (26, T)
+
+def tri_stage(carry, rv: RayVals, tri_ref, n_tri: int):
+    """Scalar-triple-product Möller–Trumbore (mesh.rs:57-98 semantics)."""
+    ox, oy, oz, dx, dy, dz = rv.ox, rv.oy, rv.oz, rv.dx, rv.dy, rv.dz
     oxd_x = oy * dz - oz * dy                                   # (T,1)
     oxd_y = oz * dx - ox * dz
     oxd_z = ox * dy - oy * dx
@@ -318,14 +349,18 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
               + (dx * w1x + dy * w1y + dz * w1z)) * inv
         t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
         ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
-              & (b1 + b2 <= 1.0) & (t >= tmin) & (t <= tmax))
+              & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
         # winner geometry slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz]; the
         # barycentrics are per-pair computed values -> VPU reductions
         carry = _fold(carry, t, ok, float(j), PRIM_TRIANGLE,
                       tri_ref[16:, j:j + CHUNK],
                       list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
                       [(0, b1), (1, b2)])
+    return carry
 
+
+def finish_carry(carry, t_out, ty_out, ix_out, data_out):
+    """Write the folded winner to the output refs (shared epilogue)."""
     best_t, best_ty, best_ix, best_data = carry
     miss = best_ty < 0.0
     # spheres are Morton-reordered; slot 14 carries the original index
@@ -337,9 +372,29 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref,
     data_out[:] = best_data
 
 
+def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
+                    sph_ref, rect_ref, tri_ref, cull_ref,
+                    t_out, ty_out, ix_out, data_out,
+                    *, n_sph: int, n_rect: int, n_tri: int):
+    # whole-tile skip for fully-retired tiles: a value-returning cond keeps
+    # the output writes unconditional (conditional ref stores stall the
+    # Mosaic output pipeline)
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    any_alive = jnp.any(alive_ref[:] > 0.5)
+
+    def live(carry):
+        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph)
+        carry = rect_stage(carry, rv, rect_ref, n_rect)
+        carry = tri_stage(carry, rv, tri_ref, n_tri)
+        return carry
+
+    carry = jax.lax.cond(any_alive, live, lambda c: c, init_carry(rv))
+    finish_carry(carry, t_out, ty_out, ix_out, data_out)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_kernel(o, d, tmin, tmax, sph, rect, tri, cull, *,
+def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, *,
                  n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
@@ -349,8 +404,10 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, cull, *,
         d = jnp.pad(d, [(0, pad), (0, 0)])   # zero dir -> all tests miss
         tmin = jnp.pad(tmin, [(0, pad)])
         tmax = jnp.pad(tmax, [(0, pad)])
+        alive = jnp.pad(alive, [(0, pad)])   # pad lanes are dead
     tmin = tmin[:, None]
     tmax = tmax[:, None]
+    alive = alive.astype(jnp.float32)[:, None]
 
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
@@ -362,6 +419,7 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, cull, *,
         in_specs=[
             pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -386,27 +444,33 @@ def _call_kernel(o, d, tmin, tmax, sph, rect, tri, cull, *,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, tmax, sph, rect, tri, cull)
+    )(o, d, tmin, tmax, alive, sph, rect, tri, cull)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
 
-def _run(scene: Scene, o, d, t_min, t_max):
+def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     sph, rect, tri, cull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
+    if alive is None:
+        alive = jnp.ones((n,), jnp.float32)
     interpret = jax.default_backend() != "tpu"
+    # empty tables are padded to one dummy always-miss chunk; skip their
+    # stages entirely (a dummy chunk costs as much as a real one)
     return _call_kernel(
-        o, d, tmin, tmax, sph, rect, tri, cull,
-        n_sph=sph.shape[1], n_rect=rect.shape[1], n_tri=tri.shape[1],
+        o, d, tmin, tmax, alive, sph, rect, tri, cull,
+        n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
+        n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
         interpret=interpret)
 
 
-def intersect_pallas(scene: Scene, o, d, t_min, t_max) -> Hit:
+def intersect_pallas(scene: Scene, o, d, t_min, t_max, alive=None) -> Hit:
     """Closest hit via the fused VMEM-resident kernel."""
-    t, ty, ix, _ = _run(scene, o, d, t_min, t_max)
+    t, ty, ix, _ = _run(scene, o, d, t_min, t_max, alive)
     return Hit(t, ty, ix)
 
 
@@ -461,10 +525,10 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
     return HitAttrs(valid, hit.t, p, normal, front_face, uv, mat_id), feats
 
 
-def intersect_pallas_full(scene: Scene, o, d, t_min, t_max):
+def intersect_pallas_full(scene: Scene, o, d, t_min, t_max, alive=None):
     """One fused call: (Hit, HitAttrs, MatFeatures) — no table access in
     the shading pass at all."""
-    t, ty, ix, data = _run(scene, o, d, t_min, t_max)
+    t, ty, ix, data = _run(scene, o, d, t_min, t_max, alive)
     hit = Hit(t, ty, ix)
     attrs, feats = attrs_from_winner_data(o, d, hit, data)
     return hit, attrs, feats

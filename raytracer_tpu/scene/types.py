@@ -163,6 +163,27 @@ class BVH(NamedTuple):
     prim_idx: jnp.ndarray    # (P,) int32 reordered per-type indices
 
 
+class LeafTables(NamedTuple):
+    """Host-built tables for the in-kernel leaf-culled sphere traversal
+    (ops/pallas_bvh.py) — the TPU-native analog of bvh.rs:87-101's ordered
+    descent. Small spheres are median-split into L spatial leaves of LEAF
+    spheres; per ray the kernel slab-tests all leaf AABBs and intersects
+    only the spheres of hit leaves (rank-selected K leaves per iteration via
+    one-hot MXU gathers). Static sizes are encoded in the shapes:
+    L = aabb.shape[1], LEAF = table.shape[1] // L, K = kron.shape[2] // LEAF.
+    """
+    aabb: jnp.ndarray   # (6, L) leaf slab planes: rows 0-2 min, 3-5 max
+    kron: jnp.ndarray   # (2, 5, K*L, K*LEAF) bf16 block-diag gather mats,
+    #                     split into hi + mid parts (their f32 sum carries 16
+    #                     mantissa bits — candidate-test precision; the
+    #                     winner's exact values come from ``table``):
+    #                     cx, cy, cz, csq=|c|^2-r^2, col-id+1 (0 = empty slot)
+    table: jnp.ndarray  # (17, L*LEAF) full small-sphere planes:
+    #                     cx, cy, cz, csq, 12 material-feature rows, orig idx
+    big: jnp.ndarray    # (17, B_pad) dense always-tested sphere planes
+    big_cull: jnp.ndarray  # (6, B_pad//chunk) chunk AABBs for the big table
+
+
 class Scene(NamedTuple):
     """The world: all tables + camera + bounds. One immutable pytree."""
     spheres: Spheres
@@ -178,6 +199,7 @@ class Scene(NamedTuple):
     bounds_max: jnp.ndarray    # (3,)
     bvh: Optional[BVH] = None
     media: Optional["Media"] = None  # constant-density volumes (ops/media.py)
+    leaf: Optional[LeafTables] = None  # leaf-traversal tables (ops/pallas_bvh.py)
 
     @property
     def n_primitives(self):
