@@ -38,8 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="small CI workload (replaces the reference's "
                         "compile-time CI thread shrink)")
     r.add_argument("--intersector",
-                   choices=["auto", "pallas", "bruteforce", "bvh"],
+                   choices=["auto", "pallas", "bruteforce", "bvh", "leaf"],
                    default="auto")
+    r.add_argument("--nee", action="store_true",
+                   help="next-event estimation for the pt integrator "
+                        "(direct-light shadow rays at diffuse vertices; "
+                        "same mean, lower variance)")
     r.add_argument("--bvh", action="store_true",
                    help="build a BVH for the scene")
     r.add_argument("--sharded", action="store_true",
@@ -86,6 +90,7 @@ def cmd_render(args) -> int:
         spp_chunk=args.spp_chunk, max_depth=args.max_depth,
         seed=args.seed if args.seed is not None else 0,
         intersector=args.intersector, output=args.out,
+        nee=args.nee,
         sppm=SPPMConfig(n_iterations=args.sppm_iters,
                         photons_per_iter=args.sppm_photons,
                         alpha=args.sppm_alpha))
@@ -125,8 +130,15 @@ def cmd_render(args) -> int:
             if args.checkpoint:
                 cb = lambda s: ckpt.save_state(args.checkpoint, s, cfg.seed)
             with timer.stage("SPPM"):
-                img, rays, state = sppm.render(scene, cfg, key, state=state,
-                                               checkpoint_cb=cb)
+                if args.sharded:
+                    from raytracer_tpu.parallel.sppm import render_sppm
+                    img, rays, state = render_sppm(scene, cfg, key,
+                                                   state=state,
+                                                   checkpoint_cb=cb)
+                else:
+                    img, rays, state = sppm.render(scene, cfg, key,
+                                                   state=state,
+                                                   checkpoint_cb=cb)
         else:
             with timer.stage("RT"):
                 if args.sharded:

@@ -69,7 +69,8 @@ RR_START_BOUNCE = 3  # Russian roulette kicks in after this many bounces
 
 def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
                    spawn_eps, intersector: str = "auto",
-                   time=None, russian_roulette: bool = True) -> TraceResult:
+                   time=None, russian_roulette: bool = True,
+                   nee: bool = False) -> TraceResult:
     """Trace a wavefront of rays to completion; returns per-ray radiance.
     ``time`` (N,) enables motion blur: scattered rays inherit their primary
     ray's shutter time (book-2 semantics).
@@ -79,6 +80,12 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     reference's PT-analog walk has no RR and relies on the depth cap,
     photon_mapper.rs:334 — RR preserves the image in expectation while
     cutting dead-weight lanes on deep paths, a large wavefront win).
+
+    ``nee``: next-event estimation — at every diffuse vertex a shadow ray
+    samples each light directly (ops/nee.py::direct_light), and emission is
+    skipped on rays that left a diffuse vertex so light is counted exactly
+    once. Same mean as plain PT, lower variance on direct-lit scenes
+    (light.rs:107-124 is the reference's never-called analog).
 
     Retired lanes stay in place but are passed to the intersection kernels
     as ``alive`` so they contribute no traversal work (measured -16% on
@@ -94,6 +101,7 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         throughput: jnp.ndarray
         radiance: jnp.ndarray
         alive: jnp.ndarray
+        prev_diffuse: jnp.ndarray
         rays: jnp.ndarray
 
     def cond(s: S):
@@ -106,8 +114,20 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
 
         live = s.alive & attrs.valid
+        # with NEE, emission along diffuse-scattered rays was already
+        # counted by the shadow ray at the previous vertex
+        emit_ok = live & ~s.prev_diffuse
         radiance = s.radiance + jnp.where(
-            live[:, None], s.throughput * sc.emitted, 0.0)
+            emit_ok[:, None], s.throughput * sc.emitted, 0.0)
+
+        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        if nee:
+            from raytracer_tpu.ops.nee import direct_light
+            dl = direct_light(scene, jax.random.fold_in(k, 53), attrs.p,
+                              attrs.normal, sc.attenuation, diffuse_now,
+                              intersector=intersector, alive=s.alive)
+            radiance = radiance + jnp.where(
+                diffuse_now[:, None], s.throughput * dl, 0.0)
 
         cont = live & (sc.interaction != INTER_ABSORB)
         throughput = jnp.where(cont[:, None],
@@ -123,8 +143,9 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         new_o = spawn_origin(attrs.p, attrs.normal, sc.direction, spawn_eps)
         o2 = jnp.where(cont[:, None], new_o, s.o)
         d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        prev_diffuse = diffuse_now if nee else s.prev_diffuse
         return S(s.bounce + 1, o2, d2, throughput, radiance, cont,
-                 s.rays + jnp.sum(s.alive))
+                 prev_diffuse, s.rays + jnp.sum(s.alive))
 
     # Derive the initial carry from the ray arrays so that under shard_map
     # every component carries the same varying-manual-axes type as the loop
@@ -132,6 +153,7 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     init = S(jnp.int32(0), o, d,
              jnp.ones_like(o), jnp.zeros_like(o),
              o[:, 0] == o[:, 0],
+             o[:, 0] != o[:, 0],
              jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
     out = jax.lax.while_loop(cond, body, init)
     return TraceResult(out.radiance, out.rays)
@@ -139,11 +161,11 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "spp", "spp_chunk", "max_depth", "intersector",
-    "russian_roulette"))
+    "russian_roulette", "nee"))
 def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
               spp_chunk: int, max_depth: int, t_min: float,
               spawn_eps_rel: float, intersector: str = "auto",
-              russian_roulette: bool = True):
+              russian_roulette: bool = True, nee: bool = False):
     """Render the full image: fori_loop over sample chunks, each chunk a
     (H*W*spp_chunk)-ray wavefront. Returns ((H,W,3) linear image, rays)."""
     npix = width * height
@@ -165,7 +187,7 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
         res = trace_radiance(
             scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
             spawn_eps=spawn_eps, intersector=intersector, time=time,
-            russian_roulette=russian_roulette)
+            russian_roulette=russian_roulette, nee=nee)
         # rays metric = intersection calls executed; bounce 0 (all lanes
         # alive on entry) already counts the primary rays — do not add them
         # again.
@@ -198,7 +220,8 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
             max_depth=config.max_depth, t_min=config.t_min,
             spawn_eps_rel=config.spawn_eps_rel,
             intersector=config.intersector,
-            russian_roulette=config.russian_roulette)
+            russian_roulette=config.russian_roulette,
+            nee=config.nee)
         w = spp / total
         accum = img * w if accum is None else accum + img * w
         rays_total += int(rays)

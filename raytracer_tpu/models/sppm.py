@@ -184,6 +184,23 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
     return MeasurePoints(out.out_valid, out.out_p, out.out_n, out.out_bsdf)
 
 
+# ---------------------------------------------------------------- queries
+
+def _query(grid, grid_res, points, radius, cap_radius, k_per_cell,
+           query_chunk, impl: str) -> pg.QueryResult:
+    """Dual-radius photon query. "dense" = VMEM-resident pallas kernel
+    (exact within-radius sums, reference kd-tree semantics,
+    photon_mapper.rs:102-114); "grid" = XLA 27-cell gather (capped)."""
+    if impl == "dense":
+        from raytracer_tpu.ops.pallas_photon import query_photons
+        valid = jnp.arange(grid.pos.shape[0], dtype=jnp.int32) < grid.n_valid
+        return query_photons(grid.pos, grid.power.astype(jnp.float32),
+                             grid.norm.astype(jnp.float32), valid,
+                             points, radius, cap_radius)
+    return pg.query_grid_chunked(grid, grid_res, points, radius, cap_radius,
+                                 k_per_cell, query_chunk)
+
+
 # ------------------------------------------------------------ stat update
 
 def _update_half(half: SPPMHalf, pts: MeasurePoints, q: pg.QueryResult,
@@ -244,13 +261,13 @@ def photon_grids(scene: Scene, key, iteration, *, n_photons,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "max_camera_bounces", "grid_res", "k_per_cell",
-    "intersector", "query_chunk"))
+    "intersector", "query_chunk", "query_impl"))
 def measure_update_block(scene: Scene, glob: SPPMHalf, caus: SPPMHalf,
                          g_grid, c_grid, pixel_ids, key, iteration, *,
                          width, height, max_camera_bounces, grid_res,
                          k_per_cell, alpha, k_global, k_caustic, t_min,
                          spawn_eps_rel, intersector="auto",
-                         query_chunk=2048):
+                         query_chunk=2048, query_impl="dense"):
     """Measurement + stat update for one pixel block (one dispatch —
     keeps single-dispatch time bounded for large images; the TPU tunnel
     kills dispatches much longer than ~2 minutes)."""
@@ -263,13 +280,13 @@ def measure_update_block(scene: Scene, glob: SPPMHalf, caus: SPPMHalf,
     cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(glob.photons > 0, rg, cap_radius)
-    qg = pg.query_grid_chunked(g_grid, grid_res, pts.p, rg, cap_radius,
-                               k_per_cell, query_chunk)
+    qg = _query(g_grid, grid_res, pts.p, rg, cap_radius, k_per_cell,
+                query_chunk, query_impl)
     glob = _update_half(glob, pts, qg, k_global, alpha, cap_radius)
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(caus.radius2, 0.0)), cap_radius)
     rc = jnp.where(caus.photons > 0, rc, cap_radius)
-    qc = pg.query_grid_chunked(c_grid, grid_res, pts.p, rc, cap_radius,
-                               k_per_cell, query_chunk)
+    qc = _query(c_grid, grid_res, pts.p, rc, cap_radius, k_per_cell,
+                query_chunk, query_impl)
     caus = _update_half(caus, pts, qc, k_caustic, alpha, cap_radius)
     return glob, caus
 
@@ -294,7 +311,8 @@ def sppm_iteration_blocked(scene: Scene, state: SPPMState, key, *,
                  k_caustic=kw["k_caustic"], t_min=kw["t_min"],
                  spawn_eps_rel=kw["spawn_eps_rel"],
                  intersector=kw["intersector"],
-                 query_chunk=kw.get("query_chunk", 2048))
+                 query_chunk=kw.get("query_chunk", 2048),
+                 query_impl=kw.get("query_impl", "dense"))
     # pad so every block has the same (static) width
     blocks = [(lo, min(lo + pixel_block, npix))
               for lo in range(0, npix, pixel_block)]
@@ -322,12 +340,12 @@ def sppm_iteration_blocked(scene: Scene, state: SPPMState, key, *,
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "n_photons", "max_photon_bounces",
     "max_camera_bounces", "grid_res", "k_per_cell", "intersector",
-    "query_chunk"))
+    "query_chunk", "query_impl"))
 def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
                    n_photons, max_photon_bounces, max_camera_bounces,
                    grid_res, k_per_cell, alpha, k_global, k_caustic,
                    t_min, photon_t_min, spawn_eps_rel, intersector="auto",
-                   query_chunk=2048) -> SPPMState:
+                   query_chunk=2048, query_impl="dense") -> SPPMState:
     npix = width * height
     spawn_eps = spawn_eps_rel * scene.scale
     k_ph, k_meas = jax.random.split(jax.random.fold_in(key, state.iteration))
@@ -357,14 +375,14 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
     cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(state.glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(state.glob.photons > 0, rg, cap_radius)
-    qg = pg.query_grid_chunked(g_grid, grid_res, pts.p, rg, cap_radius,
-                               k_per_cell, query_chunk)
+    qg = _query(g_grid, grid_res, pts.p, rg, cap_radius, k_per_cell,
+                query_chunk, query_impl)
     glob = _update_half(state.glob, pts, qg, k_global, alpha, cap_radius)
 
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(state.caustic.radius2, 0.0)), cap_radius)
     rc = jnp.where(state.caustic.photons > 0, rc, cap_radius)
-    qc = pg.query_grid_chunked(c_grid, grid_res, pts.p, rc, cap_radius,
-                               k_per_cell, query_chunk)
+    qc = _query(c_grid, grid_res, pts.p, rc, cap_radius, k_per_cell,
+                query_chunk, query_impl)
     caus = _update_half(state.caustic, pts, qc, k_caustic, alpha,
                         cap_radius)
 
@@ -372,6 +390,70 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
 
 
 # ----------------------------------------------------------- final gather
+
+def density_estimates(state: SPPMState, n_total_photons) -> jnp.ndarray:
+    """Per-pixel caustic+global radiance estimates flux/(pi r^2 N_total)
+    (photon_mapper.rs:117-119). (npix, 3)."""
+    inv = 1.0 / jnp.float32(n_total_photons)
+    rad_g = state.glob.flux / (
+        PI * jnp.maximum(state.glob.radius2, 1e-12)[:, None]) * inv
+    rad_c = state.caustic.flux / (
+        PI * jnp.maximum(state.caustic.radius2, 1e-12)[:, None]) * inv
+    rad_g = jnp.where((state.glob.photons > 0)[:, None], rad_g, 0.0)
+    rad_c = jnp.where((state.caustic.photons > 0)[:, None], rad_c, 0.0)
+    return rad_g + rad_c
+
+
+def gather_walk(scene: Scene, o, d, est_rep, k_walk, *, max_depth, t_min,
+                spawn_eps, intersector):
+    """The sample_ray specular walk (photon_mapper.rs:326-365) for one
+    wavefront: Le at EVERY hit, the lane's density estimate at the first
+    Diffuse hit, Reflect/Refract/Specular chains multiply throughput.
+    Returns (radiance (N,3), rays ())."""
+
+    class S(NamedTuple):
+        o: jnp.ndarray
+        d: jnp.ndarray
+        throughput: jnp.ndarray
+        radiance: jnp.ndarray
+        alive: jnp.ndarray
+        bounce: jnp.ndarray
+        rays: jnp.ndarray
+
+    def cond(s):
+        return (s.bounce < max_depth) & jnp.any(s.alive)
+
+    def body(s: S):
+        k = jax.random.fold_in(k_walk, s.bounce)
+        attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min,
+                                     intersector, alive=s.alive)
+        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
+        live = s.alive & attrs.valid
+        # Le at every hit (photon_mapper.rs:341)
+        radiance = s.radiance + jnp.where(
+            live[:, None], s.throughput * sc.emitted, 0.0)
+        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        # density estimates at the first diffuse hit, then stop
+        radiance = radiance + jnp.where(
+            diffuse_now[:, None], s.throughput * est_rep, 0.0)
+        cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
+        throughput = jnp.where(cont[:, None],
+                               s.throughput * sc.attenuation,
+                               s.throughput)
+        o2 = jnp.where(cont[:, None],
+                       spawn_origin(attrs.p, attrs.normal, sc.direction,
+                                    spawn_eps), s.o)
+        d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        return S(o2, d2, throughput, radiance, cont, s.bounce + 1,
+                 s.rays + jnp.sum(s.alive))
+
+    alive0 = o[:, 0] == o[:, 0]
+    init = S(o, d, jnp.ones_like(o), jnp.zeros_like(o), alive0,
+             jnp.int32(0), jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
+    out = jax.lax.while_loop(cond, body, init)
+    # out.rays already counts bounce-0 intersections (= the primaries)
+    return out.radiance, out.rays
+
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "spp", "spp_chunk", "max_depth", "intersector"))
@@ -382,12 +464,7 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
     photon_mapper.rs:326-365)."""
     npix = width * height
     spawn_eps = spawn_eps_rel * scene.scale
-    inv = 1.0 / jnp.float32(n_total_photons)
-    rad_g = state.glob.flux / (PI * jnp.maximum(state.glob.radius2, 1e-12)[:, None]) * inv
-    rad_c = state.caustic.flux / (PI * jnp.maximum(state.caustic.radius2, 1e-12)[:, None]) * inv
-    rad_g = jnp.where((state.glob.photons > 0)[:, None], rad_g, 0.0)
-    rad_c = jnp.where((state.caustic.photons > 0)[:, None], rad_c, 0.0)
-    est = rad_g + rad_c  # (npix, 3), added at the first diffuse hit
+    est = density_estimates(state, n_total_photons)
 
     n_chunks = -(-spp // spp_chunk)
     pixel_ids = jnp.broadcast_to(
@@ -399,51 +476,11 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
         k_cam = jax.random.fold_in(jax.random.fold_in(key, 17), i)
         k_walk = jax.random.fold_in(jax.random.fold_in(key, 19), i)
         o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
-        n = o.shape[0]
-
-        class S(NamedTuple):
-            o: jnp.ndarray
-            d: jnp.ndarray
-            throughput: jnp.ndarray
-            radiance: jnp.ndarray
-            alive: jnp.ndarray
-            bounce: jnp.ndarray
-            rays: jnp.ndarray
-
-        def cond(s):
-            return (s.bounce < max_depth) & jnp.any(s.alive)
-
-        def body(s: S):
-            k = jax.random.fold_in(k_walk, s.bounce)
-            attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min,
-                                         intersector, alive=s.alive)
-            sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
-            live = s.alive & attrs.valid
-            # Le at every hit (photon_mapper.rs:341)
-            radiance = s.radiance + jnp.where(
-                live[:, None], s.throughput * sc.emitted, 0.0)
-            diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
-            # density estimates at the first diffuse hit, then stop
-            radiance = radiance + jnp.where(
-                diffuse_now[:, None], s.throughput * est_rep, 0.0)
-            cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
-            throughput = jnp.where(cont[:, None],
-                                   s.throughput * sc.attenuation,
-                                   s.throughput)
-            o2 = jnp.where(cont[:, None],
-                           spawn_origin(attrs.p, attrs.normal, sc.direction,
-                                        spawn_eps), s.o)
-            d2 = jnp.where(cont[:, None], sc.direction, s.d)
-            return S(o2, d2, throughput, radiance, cont, s.bounce + 1,
-                     s.rays + jnp.sum(s.alive))
-
-        alive0 = o[:, 0] == o[:, 0]
-        init = S(o, d, jnp.ones_like(o), jnp.zeros_like(o), alive0,
-                 jnp.int32(0), jnp.sum(jnp.zeros_like(o[:, 0], jnp.int32)))
-        out = jax.lax.while_loop(cond, body, init)
-        # out.rays already counts bounce-0 intersections (= the primaries)
-        rad = out.radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
-        return accum + rad, rays + out.rays
+        radiance, r = gather_walk(scene, o, d, est_rep, k_walk,
+                                  max_depth=max_depth, t_min=t_min,
+                                  spawn_eps=spawn_eps, intersector=intersector)
+        rad = radiance.reshape(spp_chunk, npix, 3).sum(axis=0)
+        return accum + rad, rays + r
 
     accum, rays = jax.lax.fori_loop(
         0, n_chunks, chunk, (jnp.zeros((npix, 3), jnp.float32), jnp.int32(0)))
@@ -479,7 +516,7 @@ def render(scene: Scene, config: RenderConfig, key,
         alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
         t_min=config.t_min, photon_t_min=1e-4,
         spawn_eps_rel=config.spawn_eps_rel,
-        intersector=config.intersector)
+        intersector=config.intersector, query_impl=sp.query_impl)
     blocked = npix > sp.pixel_block
     start = int(state.iteration)
     for _ in range(start, sp.n_iterations):

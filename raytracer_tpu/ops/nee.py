@@ -67,3 +67,84 @@ def sample_li(scene: Scene, key, attrs: HitAttrs, n_samples: int = 4,
             acc = acc + jnp.where((visible & attrs.valid)[:, None], contrib, 0.0)
         total = total + acc / n_samples
     return total
+
+
+PI = 3.141592653589793
+
+
+def direct_light(scene: Scene, key, p, normal, albedo, valid,
+                 n_samples: int = 1, intersector: str = "auto", alive=None):
+    """Consistent next-event estimation for the PT+NEE mode (``--nee``).
+
+    Unlike :func:`sample_li` (a faithful port of the reference's dead code,
+    quirks included), this is a proper area-sampling estimator matched to
+    the framework's path-tracer conventions (cosine-weighted diffuse scatter
+    with attenuation = albedo, i.e. f_r = albedo/pi):
+
+        L_d = Le * (albedo/pi) * cos(theta) * cos(theta') / r^2 / pdf_area
+
+    with pdf_area = 1/A (rect) or 1/(2 pi r0^2) (sphere, hemisphere facing
+    the shading point). Paired with emission-skip on diffuse-scattered rays
+    in the tracer, PT+NEE keeps the plain PT mean while cutting variance on
+    direct-lit scenes (tests/test_nee.py)."""
+    n = p.shape[0]
+    n_lights = scene.lights.kind.shape[0]
+    if n_lights == 0:
+        return jnp.zeros((n, 3), jnp.float32)
+    total = jnp.zeros((n, 3), jnp.float32)
+
+    for li in range(n_lights):
+        kind = scene.lights.kind[li]
+        p0 = scene.lights.p0[li]
+        p1 = scene.lights.p1[li]
+        r0 = scene.lights.r0[li]
+        flux = scene.lights.flux[li]
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for s in range(n_samples):
+            k = jax.random.fold_in(jax.random.fold_in(key, 1000 + li), s)
+            k1, k2 = jax.random.split(k)
+            # sphere: uniform point on the hemisphere facing the point
+            center_to_p = vec.unit(p - p0[None])
+            sph_pt = p0[None] + sampling.uniform_hemisphere(
+                k1, center_to_p) * r0
+            sph_n = vec.unit(sph_pt - p0[None])
+            sph_inv_pdf = 2.0 * PI * r0 * r0
+            # rect (XZ plane at y = p0[1], normal facing down like
+            # XZRectLight's emission, light.rs:158-166)
+            uv = jax.random.uniform(k2, (n, 2))
+            rect_pt = jnp.stack([
+                p0[0] + (p1[0] - p0[0]) * uv[:, 0],
+                jnp.broadcast_to(p0[1], (n,)),
+                p0[2] + (p1[2] - p0[2]) * uv[:, 1],
+            ], axis=-1)
+            rect_n = jnp.broadcast_to(
+                jnp.asarray([0.0, -1.0, 0.0], jnp.float32), (n, 3))
+            rect_inv_pdf = jnp.abs((p1[0] - p0[0]) * (p1[2] - p0[2]))
+
+            is_sph = kind == LIGHT_SPHERE
+            point = jnp.where(is_sph, sph_pt, rect_pt)
+            n_l = jnp.where(is_sph, sph_n, rect_n)
+            inv_pdf = jnp.where(is_sph, sph_inv_pdf, rect_inv_pdf)
+
+            to_light = point - p
+            dist2 = jnp.maximum(vec.dot(to_light, to_light), 1e-12)
+            dist = jnp.sqrt(dist2)
+            dir_ = to_light / dist[:, None]
+            cos_p = jnp.maximum(vec.dot(normal, dir_), 0.0)
+            cos_l = jnp.maximum(vec.dot(n_l, -dir_), 0.0)
+            geom = cos_p * cos_l / dist2 * inv_pdf
+            candidate = valid & (geom > 0.0)
+            # f32 shadow epsilons are relative (Cornell-scale coordinates
+            # have ~0.02 ulps): offset the origin along the normal and end
+            # the ray just short of the light's own geometry
+            p_sh = p + normal * (1e-4 * scene.scale)
+            hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
+                                  intersector,
+                                  alive=(candidate if alive is None
+                                         else candidate & alive))
+            visible = ~jnp.isfinite(hit.t)
+            contrib = flux[None] * (albedo / PI) * geom[:, None]
+            acc = acc + jnp.where((visible & candidate)[:, None],
+                                  contrib, 0.0)
+        total = total + acc / n_samples
+    return total

@@ -85,7 +85,9 @@ def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
                 scene_rep, o, d, k_trace, max_depth=max_depth, t_min=t_min,
                 spawn_eps=spawn_eps, intersector=intersector)
             rad = res.radiance.reshape(chunk, n_local, 3).sum(axis=0)
-            return accum + rad, rays + res.rays_traced + o.shape[0]
+            # rays metric = intersections executed; bounce 0 already counts
+            # the primaries (same fix as models/path_tracer.py)
+            return accum + rad, rays + res.rays_traced
 
         # mark the fold accumulators as varying over the mesh axes (the
         # jax>=0.8 VMA checker requires loop carries to match the outputs)

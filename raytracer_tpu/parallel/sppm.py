@@ -22,6 +22,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from raytracer_tpu.models import sppm as sppm_model
+from raytracer_tpu.models.camera import camera_rays
 from raytracer_tpu.ops import photon_grid as pg
 from raytracer_tpu.scene.types import Scene
 
@@ -29,13 +30,13 @@ from raytracer_tpu.scene.types import Scene
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "width", "height", "n_photons", "max_photon_bounces",
     "max_camera_bounces", "grid_res", "k_per_cell", "intersector",
-    "query_chunk"))
+    "query_chunk", "query_impl"))
 def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
                            height, n_photons, max_photon_bounces,
                            max_camera_bounces, grid_res, k_per_cell, alpha,
                            k_global, k_caustic, t_min, photon_t_min,
                            spawn_eps_rel, intersector="auto",
-                           query_chunk=2048):
+                           query_chunk=2048, query_impl="dense"):
     """One SPPM iteration over the mesh. ``state`` arrays are padded to a
     multiple of the device count and sharded over ("px","spp") flattened."""
     assert mesh.shape["spp"] == 1, (
@@ -95,15 +96,15 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
         # 4. local stat update (state shard never leaves the chip)
         rg = jnp.minimum(jnp.sqrt(jnp.maximum(st.glob.radius2, 0.0)), cap_radius)
         rg = jnp.where(st.glob.photons > 0, rg, cap_radius)
-        qg = pg.query_grid_chunked(g_grid, grid_res, pts.p, rg, cap_radius,
-                                   k_per_cell, query_chunk)
+        qg = sppm_model._query(g_grid, grid_res, pts.p, rg, cap_radius,
+                               k_per_cell, query_chunk, query_impl)
         glob = sppm_model._update_half(st.glob, pts, qg, k_global, alpha,
                                        cap_radius)
         rc = jnp.minimum(jnp.sqrt(jnp.maximum(st.caustic.radius2, 0.0)),
                          cap_radius)
         rc = jnp.where(st.caustic.photons > 0, rc, cap_radius)
-        qc = pg.query_grid_chunked(c_grid, grid_res, pts.p, rc, cap_radius,
-                                   k_per_cell, query_chunk)
+        qc = sppm_model._query(c_grid, grid_res, pts.p, rc, cap_radius,
+                               k_per_cell, query_chunk, query_impl)
         caus = sppm_model._update_half(st.caustic, pts, qc, k_caustic, alpha,
                                        cap_radius)
         return sppm_model.SPPMState(glob, caus, st.iteration + 1)
@@ -120,3 +121,121 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
     )(scene, state_p, key, pixel_ids)
     return jax.tree_util.tree_map(
         lambda x: x[:npix] if x.ndim and x.shape[0] == npix_pad else x, out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "width", "height", "spp", "spp_chunk", "max_depth",
+    "intersector"))
+def sppm_gather_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
+                        height, spp, spp_chunk, max_depth, t_min,
+                        spawn_eps_rel, n_total_photons, intersector="auto"):
+    """Sharded final gather: the executor role of camera.rs:66-128 driving
+    sample_ray, over the same ("px", "spp") mesh as parallel/render.py.
+    The per-pixel density estimates ride the pixel shard (they are part of
+    the SPPM state and never leave their chip); sample-axis partials
+    combine via psum over ICI. Returns ((H, W, 3) image, rays)."""
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    npix = width * height
+    npix_pad = -(-npix // n_px) * n_px
+    pixel_ids = jnp.arange(npix_pad, dtype=jnp.int32)
+    est = sppm_model.density_estimates(state, n_total_photons)
+    est = jnp.pad(est, [(0, npix_pad - npix), (0, 0)])
+    spp_local = -(-spp // n_spp)
+    chunk = max(1, min(spp_chunk, spp_local))
+    n_chunks = -(-spp_local // chunk)
+    spawn_eps = spawn_eps_rel * scene.scale
+
+    def shard_fn(scene_rep, key_rep, ids_shard, est_shard):
+        px_i = jax.lax.axis_index("px")
+        spp_i = jax.lax.axis_index("spp")
+        dev_key = jax.random.fold_in(jax.random.fold_in(key_rep, px_i), spp_i)
+        n_local = ids_shard.shape[0]
+        ids_rep = jnp.broadcast_to(
+            ids_shard[None, :], (chunk, n_local)).reshape(-1)
+        est_rep = jnp.broadcast_to(
+            est_shard[None], (chunk, n_local, 3)).reshape(-1, 3)
+
+        def chunk_body(i, carry):
+            accum, rays = carry
+            k_cam = jax.random.fold_in(jax.random.fold_in(dev_key, 17), i)
+            k_walk = jax.random.fold_in(jax.random.fold_in(dev_key, 19), i)
+            o, d = camera_rays(scene_rep.camera, k_cam, ids_rep, width,
+                               height)
+            radiance, r = sppm_model.gather_walk(
+                scene_rep, o, d, est_rep, k_walk, max_depth=max_depth,
+                t_min=t_min, spawn_eps=spawn_eps, intersector=intersector)
+            rad = radiance.reshape(chunk, n_local, 3).sum(axis=0)
+            return accum + rad, rays + r
+
+        init = (jnp.zeros((n_local, 3), jnp.float32), jnp.int32(0))
+        if hasattr(jax.lax, "pcast"):
+            init = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, ("px", "spp"), to="varying"), init)
+        elif hasattr(jax.lax, "pvary"):  # pragma: no cover
+            init = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, ("px", "spp")), init)
+        accum, rays = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        accum = jax.lax.psum(accum, "spp")
+        rays = jax.lax.psum(rays, ("px", "spp"))
+        return accum, rays
+
+    accum, rays = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("px"), P("px")),
+        out_specs=(P("px"), P()),
+        check_vma=False,
+    )(scene, key, pixel_ids, est)
+    img = accum[:npix] / (n_chunks * chunk * n_spp)
+    return img.reshape(height, width, 3), rays[0] if rays.ndim else rays
+
+
+def render_sppm(scene: Scene, config, key, mesh: Mesh = None, state=None,
+                checkpoint_cb=None):
+    """Full multi-chip SPPM render: sharded iterations + sharded gather
+    (the mesh analog of models/sppm.render). Returns (image, rays, state)."""
+    from raytracer_tpu.parallel.render import make_mesh
+    if mesh is None:
+        mesh = make_mesh()
+    sp = config.sppm
+    if scene.lights.kind.shape[0] == 0:
+        raise ValueError("SPPM requires at least one light in the scene")
+    npix = config.width * config.height
+    if state is None:
+        state = sppm_model.init_state(npix)
+    grid_res, _r0 = pg.choose_grid_resolution(
+        scene.bounds_min, scene.bounds_max, sp.photons_per_iter, sp.k_global)
+    kw = dict(
+        mesh=mesh, width=config.width, height=config.height,
+        n_photons=sp.photons_per_iter,
+        max_photon_bounces=sp.max_photon_bounces,
+        max_camera_bounces=sp.max_camera_bounces,
+        grid_res=grid_res, k_per_cell=sp.max_photons_per_cell,
+        alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
+        t_min=config.t_min, photon_t_min=1e-4,
+        spawn_eps_rel=config.spawn_eps_rel,
+        intersector=config.intersector, query_impl=sp.query_impl)
+    for _i in range(int(state.iteration), sp.n_iterations):
+        state = sppm_iteration_sharded(scene, state, key, **kw)
+        if checkpoint_cb is not None:
+            checkpoint_cb(state)
+
+    n_total = sp.n_iterations * sp.photons_per_iter
+    total = config.samples_per_pixel
+    batch = max(1, min(config.host_spp_batch, total))
+    done, i, rays_total, accum = 0, 0, 0, None
+    while done < total:
+        spp = min(batch, total - done)
+        img, rays = sppm_gather_sharded(
+            scene, state, jax.random.fold_in(jax.random.fold_in(key, 23), i),
+            mesh=mesh, width=config.width, height=config.height, spp=spp,
+            spp_chunk=max(1, min(config.spp_chunk, spp)),
+            max_depth=config.max_depth, t_min=config.t_min,
+            spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
+            intersector=config.intersector)
+        w = spp / total
+        accum = img * w if accum is None else accum + img * w
+        rays_total += int(rays)
+        done += spp
+        i += 1
+    return accum, rays_total, state

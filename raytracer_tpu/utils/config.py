@@ -32,6 +32,10 @@ class SPPMConfig:
     max_camera_bounces: int = 50  # specular-walk cap, photon_mapper.rs:334
     # Uniform-grid photon map (TPU replacement for the kd-tree):
     max_photons_per_cell: int = 64   # gather cap per neighbor cell
+    # Query implementation: "dense" = VMEM-resident pallas kernel (exact,
+    # no per-cell cap, HBM-light — ops/pallas_photon.py); "grid" = the XLA
+    # 27-cell gather (ops/photon_grid.py), kept as oracle/fallback.
+    query_impl: str = "dense"
     # Measurement/update dispatches are split into pixel blocks of this size
     # for large images (single dispatches >~2min can crash the TPU worker)
     pixel_block: int = 1 << 18
@@ -62,6 +66,10 @@ class RenderConfig:
     # Unbiased Russian-roulette path termination in the path tracer
     # (variance/throughput tradeoff; the reference PT-walk has none)
     russian_roulette: bool = True
+    # Next-event estimation in the path tracer (shadow rays at diffuse
+    # vertices + emission-skip on diffuse-scattered rays; the reference's
+    # sample_li, light.rs:107-124, ships but is never called)
+    nee: bool = False
     sppm: SPPMConfig = dataclasses.field(default_factory=SPPMConfig)
     # Intersection strategy: "auto" picks brute force for small scenes and
     # BVH traversal for large ones (threshold below).

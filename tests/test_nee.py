@@ -1,0 +1,67 @@
+"""PT+NEE mode: same mean as plain PT, lower variance (VERDICT round-1
+item 7). Uses the Cornell direct-lighting analytic oracle: radiance at the
+floor point under the light via one diffuse bounce is
+
+    albedo/pi * Int Le cos(theta) cos(theta') / r^2 dA ~= 0.01046
+
+for the white floor (albedo 0.73) and the (213,343)x(227,332) rect light at
+y=554 with Le=(1,1,1) (scene.rs:26-32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.models.path_tracer import trace_radiance
+from raytracer_tpu.scene.builtin import cornell_box
+
+ORACLE = 0.01046
+
+
+def shoot(nee, n, seed, max_depth=2):
+    scene = cornell_box(with_mesh=False)
+    o = jnp.broadcast_to(jnp.asarray([278.0, 120.0, 278.0]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    res = trace_radiance(scene, o, d, jax.random.PRNGKey(seed),
+                         max_depth=max_depth, t_min=1e-3, spawn_eps=0.05,
+                         russian_roulette=False, nee=nee)
+    return np.asarray(res.radiance)
+
+
+def test_nee_matches_analytic_direct_lighting():
+    # NEE at max_depth=1: exactly the direct term (one shadow ray; its
+    # variance is the light-area sampling only, tiny vs plain PT's)
+    rad = shoot(nee=True, n=16384, seed=0, max_depth=1)
+    mean = rad.mean(0).mean()
+    np.testing.assert_allclose(mean, ORACLE, rtol=0.05)
+
+
+def test_nee_same_mean_as_plain_pt():
+    # NEE extends every diffuse path by one light connection, so
+    # NEE(depth D) covers the same transport as plain PT(depth D+1)
+    r_pt = shoot(nee=False, n=65536, seed=1, max_depth=2)
+    r_ne = shoot(nee=True, n=8192, seed=2, max_depth=1)
+    m_pt = r_pt.mean(0).mean()
+    m_ne = r_ne.mean(0).mean()
+    # plain PT needs 8x the samples for comparable error; tolerances reflect
+    # its ~4-8% MC noise at 65k
+    np.testing.assert_allclose(m_ne, m_pt, rtol=0.12)
+
+
+def test_nee_lower_variance():
+    r_pt = shoot(nee=False, n=8192, seed=3, max_depth=2)
+    r_ne = shoot(nee=True, n=8192, seed=4, max_depth=1)
+    v_pt = r_pt.sum(1).var()
+    v_ne = r_ne.sum(1).var()
+    assert v_ne < v_pt / 5.0, (v_pt, v_ne)
+
+
+def test_nee_full_render_finite():
+    """render_fn with nee on a small Cornell image: finite, lit interior."""
+    from raytracer_tpu.models.path_tracer import render_fn
+    scene = cornell_box(with_mesh=False)
+    img, rays = render_fn(scene, jax.random.PRNGKey(0), width=32, height=32,
+                          spp=8, spp_chunk=4, max_depth=6, t_min=1e-3,
+                          spawn_eps_rel=1e-4, nee=True)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img[8:24, 8:24].mean() > 1e-3

@@ -45,3 +45,43 @@ def test_sharded_sppm_gather_image(key):
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img[6:18, 6:18].mean() > 0.01  # lit interior
+
+
+def test_sharded_gather_matches_single_device(key):
+    """The SHARDED final gather must agree statistically with the
+    single-device gather_fn on the same state (camera.rs:66-128 executor
+    parity across the mesh)."""
+    from raytracer_tpu.parallel.sppm import sppm_gather_sharded
+    scene, state = run_iters(2, key)
+    mesh = prender.make_mesh(n_px=4, n_spp=2)
+    common = dict(width=24, height=24, max_depth=8, t_min=1e-3,
+                  spawn_eps_rel=1e-4, n_total_photons=2 * 8000)
+    img1, rays1 = sppm_model.gather_fn(scene, state, key, spp=16,
+                                       spp_chunk=4, **common)
+    img2, rays2 = sppm_gather_sharded(scene, state, key, mesh=mesh, spp=16,
+                                      spp_chunk=4, **common)
+    img1, img2 = np.asarray(img1), np.asarray(img2)
+    assert np.isfinite(img2).all()
+    assert int(rays2) > 0
+    # different RNG streams -> MC noise; compare means over the interior
+    m1 = img1[4:20, 4:20].mean()
+    m2 = img2[4:20, 4:20].mean()
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.25, (m1, m2)
+
+
+def test_sharded_full_render_smoke(key):
+    """render_sppm end to end (iterations + gather) on the CPU mesh."""
+    import dataclasses
+    from raytracer_tpu.parallel.sppm import render_sppm
+    from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+    scene = cornell_box(with_mesh=False)
+    cfg = RenderConfig(
+        width=16, height=16, samples_per_pixel=2, max_depth=6, spp_chunk=2,
+        sppm=SPPMConfig(n_iterations=1, photons_per_iter=4000,
+                        max_photon_bounces=4, max_camera_bounces=6))
+    mesh = prender.make_mesh(n_px=8, n_spp=1)
+    img, rays, state = render_sppm(scene, cfg, key, mesh=mesh)
+    img = np.asarray(img)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert int(state.iteration) == 1

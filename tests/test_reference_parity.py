@@ -1,0 +1,97 @@
+"""Cross-implementation parity: the production renderer vs the independent
+f64 numpy oracle (tests/oracle_np.py).
+
+The Rust reference binary cannot be built here (no rustc/cargo in the
+image), so these tests stand in for "matches the reference image within
+Monte-Carlo noise": an independently-written scalar-semantics f64
+implementation of the same transport must agree with the f32 TPU-native
+renderer on the Cornell box — for the plain path trace AND for the full
+SPPM pipeline (with the reference's TRUE unbounded-kNN radius init, which
+the production code replaces with a capped density init).
+
+Also quantifies that init replacement (VERDICT round-1 item 9): oracle SPPM
+with knn init vs density init at the production cap.
+"""
+
+import sys
+import os
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+import oracle_np  # noqa: E402
+
+from raytracer_tpu.scene.builtin import cornell_box  # noqa: E402
+
+
+def test_pt_parity_cornell():
+    """Mean and interior-block agreement of the f32 wavefront PT against
+    the f64 oracle PT (same scene tables, independent transport code)."""
+    from raytracer_tpu.models.path_tracer import render_fn
+    scene = cornell_box(with_mesh=True)
+    W = H = 24
+    img_o = oracle_np.pt_render(scene, W, H, spp=128, max_depth=6, seed=0)
+    img_j, _ = render_fn(scene, jax.random.PRNGKey(0), width=W, height=H,
+                         spp=128, spp_chunk=8, max_depth=6, t_min=1e-3,
+                         spawn_eps_rel=1e-4, russian_roulette=False)
+    img_j = np.asarray(img_j)
+    np.testing.assert_allclose(img_j.mean(), img_o.mean(), rtol=0.10)
+    # the bright center block (floor + light view) is the least noisy
+    c_o = img_o[8:16, 8:16].mean()
+    c_j = img_j[8:16, 8:16].mean()
+    np.testing.assert_allclose(c_j, c_o, rtol=0.10)
+
+
+def test_sppm_parity_cornell():
+    """Full-pipeline SPPM parity: production (grid/density-init, f32, TPU
+    kernels in interpret mode) vs oracle (brute-force queries, true kNN
+    init, f64). Agreement within MC noise validates the whole chain —
+    emission conventions, RR renormalization, deposit rules, the
+    alpha-recursion, and the final gather."""
+    from raytracer_tpu.models import sppm
+    from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+    scene = cornell_box(with_mesh=False)
+    W = H = 20
+    iters, nph, spp = 3, 12000, 8
+    img_o = oracle_np.sppm_render(scene, W, H, n_iters=iters,
+                                  photons_per_iter=nph, spp=spp,
+                                  max_depth=10, seed=1, init="knn")
+    cfg = RenderConfig(
+        width=W, height=H, samples_per_pixel=spp, max_depth=10, spp_chunk=4,
+        sppm=SPPMConfig(n_iterations=iters, photons_per_iter=nph,
+                        max_photon_bounces=10, max_camera_bounces=10))
+    img_j, _, _ = sppm.render(scene, cfg, jax.random.PRNGKey(2))
+    img_j = np.asarray(img_j)
+    m_o = img_o[3:17, 3:17].mean()
+    m_j = img_j[3:17, 3:17].mean()
+    # SPPM estimates at this scale carry ~10% MC noise; the init schemes
+    # also differ (measured below) — band accordingly
+    np.testing.assert_allclose(m_j, m_o, rtol=0.25)
+
+
+def test_knn_init_vs_density_init():
+    """VERDICT item 9: the production density-based radius init (capped at
+    one grid cell) vs the reference's unbounded kNN init, measured at image
+    level on the oracle (all other code identical)."""
+    from raytracer_tpu.ops import photon_grid as pg
+    scene = cornell_box(with_mesh=False)
+    W = H = 16
+    iters, nph, spp = 2, 10000, 6
+    _, r0 = pg.choose_grid_resolution(
+        scene.bounds_min, scene.bounds_max, nph, 100)
+    img_knn = oracle_np.sppm_render(scene, W, H, n_iters=iters,
+                                    photons_per_iter=nph, spp=spp,
+                                    max_depth=8, seed=3, init="knn")
+    img_den = oracle_np.sppm_render(scene, W, H, n_iters=iters,
+                                    photons_per_iter=nph, spp=spp,
+                                    max_depth=8, seed=3, init="density",
+                                    init_cap=r0)
+    m_k = img_knn[2:14, 2:14].mean()
+    m_d = img_den[2:14, 2:14].mean()
+    rel = abs(m_k - m_d) / max(m_k, 1e-9)
+    print(f"knn-init {m_k:.5f} vs density-init {m_d:.5f} "
+          f"(rel dev {rel:.3f}, cap r0={r0:.2f})")
+    # the alpha-recursion washes the init out; deviation stays within the
+    # estimator's own noise band
+    assert rel < 0.2, (m_k, m_d)
