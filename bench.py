@@ -2,12 +2,16 @@
 
 Headline metric (BASELINE.md): Mrays/s/chip rendering data/scene_500.json
 at 800x600; also reports extrapolated wall-clock to 1000 spp. Rays counted
-= executed ray-bounce intersections + primaries (SURVEY.md §5.5 — the
-north-star counts work actually done, not just primaries).
+= executed ray-bounce intersections (primaries are bounce 0; nothing is
+double-counted — SURVEY.md §5.5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline is against the 100 Mrays/s/chip target (the reference publishes
-no numbers — BASELINE.md).
+no numbers — BASELINE.md). Extras carry: both intersector paths (dense
+brute-force kernel vs leaf-culled traversal kernel), the
+reference-equivalent depth-50 numbers (photon_mapper.rs:334 walk cap), and
+the SPPM iteration time (Cornell 400x400, 250k photons, dense photon-query
+kernel).
 """
 
 from __future__ import annotations
@@ -17,56 +21,89 @@ import sys
 import time
 
 
+def _timed(fn, *args, **kw):
+    import jax
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)       # warmup/compile
+    t0 = time.time()
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return out, time.time() - t0
+
+
 def main():
     import jax
-    import numpy as np
     from raytracer_tpu.models import path_tracer as pt
+    from raytracer_tpu.ops.pallas_bvh import with_leaf_tables
     from raytracer_tpu.scene.loader import load_scene
 
     width, height = 800, 600
     spp_timed = 32          # timed sample count (steady-state throughput)
     spp_chunk = 2
-    max_depth = 16
 
     scene = load_scene("data/scene_500.json", aspect_ratio=width / height)
-    key = jax.random.PRNGKey(0)
+    lscene = with_leaf_tables(scene)
+    key = jax.random.PRNGKey(1)
 
-    kw = dict(width=width, height=height, spp=spp_timed, spp_chunk=spp_chunk,
-              max_depth=max_depth, t_min=1e-3, spawn_eps_rel=1e-4,
-              intersector="auto")
+    def run(sc, intersector, depth, rr):
+        kw = dict(width=width, height=height, spp=spp_timed,
+                  spp_chunk=spp_chunk, max_depth=depth, t_min=1e-3,
+                  spawn_eps_rel=1e-4, intersector=intersector,
+                  russian_roulette=rr)
+        (img, rays), dt = _timed(pt.render_fn, sc, key, **kw)
+        return int(rays), dt
 
-    # headline: pure throughput, no Russian roulette (alive-lane count is
+    # depth-16 throughput on both kernel paths, no RR (alive-lane count is
     # then an honest denominator)
-    img, rays = pt.render_fn(scene, key, russian_roulette=False, **kw)
-    jax.block_until_ready(img)  # warmup/compile
-    t0 = time.time()
-    img, rays = pt.render_fn(scene, jax.random.PRNGKey(1),
-                             russian_roulette=False, **kw)
-    jax.block_until_ready(img)
-    dt = time.time() - t0
+    rays_p, dt_p = run(scene, "pallas", 16, rr=False)
+    rays_l, dt_l = run(lscene, "leaf", 16, rr=False)
+    mrays_p = rays_p / dt_p / 1e6
+    mrays_l = rays_l / dt_l / 1e6
+    best = "leaf" if mrays_l >= mrays_p else "pallas"
+    mrays = max(mrays_l, mrays_p)
 
-    # production config: RR on (unbiased) — faster wall-clock per spp
-    img2, _ = pt.render_fn(scene, key, russian_roulette=True, **kw)
-    jax.block_until_ready(img2)
-    t0 = time.time()
-    img2, _ = pt.render_fn(scene, jax.random.PRNGKey(1),
-                           russian_roulette=True, **kw)
-    jax.block_until_ready(img2)
-    dt_rr = time.time() - t0
+    # production config (RR) on the winning path
+    sc, isec = (lscene, "leaf") if best == "leaf" else (scene, "pallas")
+    _, dt_rr = run(sc, isec, 16, rr=True)
+    # reference-equivalent walk cap (photon_mapper.rs:334): depth 50 + RR
+    rays50, dt50 = run(sc, isec, 50, rr=True)
 
-    n_chips = 1  # bench environment exposes a single chip
-    rays_total = int(rays)
-    mrays = rays_total / dt / 1e6 / n_chips
+    # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
+    # 250k photons, dense photon-query kernel
+    from raytracer_tpu.models import sppm
+    from raytracer_tpu.ops import photon_grid as pg
+    from raytracer_tpu.scene.builtin import cornell_box
+    cscene = cornell_box(with_mesh=True)
+    grid_res, _ = pg.choose_grid_resolution(
+        cscene.bounds_min, cscene.bounds_max, 250_000, 100)
+    skw = dict(width=400, height=400, n_photons=250_000,
+               max_photon_bounces=16, max_camera_bounces=50,
+               grid_res=grid_res, k_per_cell=64, alpha=0.7, k_global=100,
+               k_caustic=50, t_min=1e-3, photon_t_min=1e-4,
+               spawn_eps_rel=1e-4, intersector="auto", query_impl="dense")
+    st = sppm.init_state(400 * 400)
+    st = sppm.sppm_iteration(cscene, st, key, **skw)
+    jax.block_until_ready(st.glob.flux)
+    t0 = time.time()
+    st = sppm.sppm_iteration(cscene, st, key, **skw)
+    jax.block_until_ready(st.glob.flux)
+    dt_sppm = time.time() - t0
 
     result = {
         "metric": "Mrays/s/chip scene_500 800x600 (wavefront PT, depth<=16)",
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 100.0, 3),
-        "wallclock_s_per_32spp": round(dt, 3),
+        "best_intersector": best,
+        "mrays_pallas": round(mrays_p, 2),
+        "mrays_leaf": round(mrays_l, 2),
+        "wallclock_s_per_32spp": round(dt_l if best == "leaf" else dt_p, 3),
         "wallclock_s_per_32spp_rr": round(dt_rr, 3),
         "extrapolated_s_to_1000spp": round(dt_rr * (1000 / spp_timed), 1),
-        "rays_traced": rays_total,
+        "depth50_rr_s_per_32spp": round(dt50, 3),
+        "depth50_mrays": round(rays50 / dt50 / 1e6, 2),
+        "depth50_extrapolated_s_to_1000spp": round(dt50 * (1000 / spp_timed), 1),
+        "sppm_iter_s_400x400_250k": round(dt_sppm, 2),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -29,12 +29,15 @@ def _resolve(scene: Scene, method: str) -> str:
         return "bruteforce"
     if method != "auto":
         return method
-    if scene.leaf is not None:
-        return "leaf"
-    if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
-        return "bvh"
+    # The dense brute-force kernel runs at ~85% of VPU single-issue peak
+    # and beats the leaf-culled walk at every measured sphere count (58 vs
+    # 40 ms at 1k, 2.2 s vs 0.4 s at 16k per 960k-ray cast — the walk's
+    # per-iteration selection cost grows with the leaf count; ROUND_NOTES
+    # round 2). "leaf" stays available as an explicit method.
     if scene.n_primitives <= PALLAS_MAX_PRIMS:
         return "pallas"
+    if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
+        return "bvh"
     return "bruteforce"
 
 

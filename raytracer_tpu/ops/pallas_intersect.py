@@ -84,6 +84,13 @@ def _pad_cols(a, mult: int, fill: float):
     return a
 
 
+def eff_chunk(n: int, full: int) -> int:
+    """Chunk width for an n-column table: small tables use one lane-aligned
+    chunk instead of a full-width pad (Cornell's 17 rects in a 512-wide
+    chunk would cost 30x their work every bounce)."""
+    return full if n > full else max(128, -(-max(n, 1) // 128) * 128)
+
+
 def _feature_rows(scene: Scene, mat_id):
     """(12, K) material+texture feature planes for a per-primitive mat_id
     vector — denormalized host/trace side where tables are tiny."""
@@ -127,6 +134,7 @@ def pack_tables(scene: Scene):
     s = scene.spheres
     n_s = s.radius.shape[0]
     if n_s:
+        sph_chunk = eff_chunk(n_s, SPH_CHUNK)
         order = _morton_order(s.center.astype(jnp.float32))
         c = s.center[order].T.astype(jnp.float32)          # (3, S)
         r = s.radius[order].astype(jnp.float32)
@@ -134,15 +142,15 @@ def pack_tables(scene: Scene):
         sph = jnp.concatenate([
             c, (jnp.sum(c * c, 0) - r * r)[None],
             _feature_rows(scene, s.mat_id[order]), orig], 0)
-        sph = _pad_cols(sph, SPH_CHUNK, 0.0)
+        sph = _pad_cols(sph, sph_chunk, 0.0)
         sph = sph.at[3, n_s:].set(3e38)                    # pad -> disc < 0
         # per-chunk AABBs (pad entries get inverted boxes -> never expand)
-        lo = _pad_cols((c - r[None]), SPH_CHUNK, 3e38)
-        hi = _pad_cols((c + r[None]), SPH_CHUNK, -3e38)
-        k = lo.shape[1] // SPH_CHUNK
+        lo = _pad_cols((c - r[None]), sph_chunk, 3e38)
+        hi = _pad_cols((c + r[None]), sph_chunk, -3e38)
+        k = lo.shape[1] // sph_chunk
         cull = jnp.concatenate([
-            lo.reshape(3, k, SPH_CHUNK).min(2),
-            hi.reshape(3, k, SPH_CHUNK).max(2)], 0)        # (6, k)
+            lo.reshape(3, k, sph_chunk).min(2),
+            hi.reshape(3, k, sph_chunk).max(2)], 0)        # (6, k)
     else:
         sph = jnp.zeros((5 + N_FEAT, SPH_CHUNK), jnp.float32).at[3, :].set(3e38)
         cull = jnp.concatenate([jnp.full((3, 1), 3e38),
@@ -160,7 +168,7 @@ def pack_tables(scene: Scene):
         rec = jnp.concatenate(
             [x.astype(jnp.float32) for x in rows]
             + [_feature_rows(scene, rct.mat_id)], 0)
-        rec = _pad_cols(rec, CHUNK, 0.0)
+        rec = _pad_cols(rec, eff_chunk(n_r, CHUNK), 0.0)
         rec = rec.at[10, n_r:].set(1.0).at[11, n_r:].set(-1.0)  # a0>a1 -> miss
     else:
         rec = jnp.zeros((14 + N_FEAT, CHUNK), jnp.float32
@@ -176,7 +184,7 @@ def pack_tables(scene: Scene):
         tri = jnp.concatenate(
             [x.astype(jnp.float32) for x in rows]
             + [_feature_rows(scene, tr.mat_id)], 0)
-        tri = _pad_cols(tri, CHUNK, 0.0)                   # zeros -> div = 0
+        tri = _pad_cols(tri, eff_chunk(n_t, CHUNK), 0.0)   # zeros -> div = 0
     else:
         tri = jnp.zeros((25 + N_FEAT, CHUNK), jnp.float32)
     return sph, rec, tri, cull
@@ -268,8 +276,10 @@ SPHERE_SLOTS = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS)) + [14])
 
 
 def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
-                 chunk: int = SPH_CHUNK):
+                 chunk: int = None):
     """Dense chunk-culled sphere tests (sphere.rs:24-55 math)."""
+    if chunk is None:
+        chunk = eff_chunk(n_sph, SPH_CHUNK)
     for j in range(0, n_sph, chunk):
         jc = j // chunk
         # slab test of the whole ray tile vs this chunk's AABB
@@ -311,8 +321,9 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
 
 def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
     """Axis-rect plane tests (rectangle.rs semantics)."""
-    for j in range(0, n_rect, CHUNK):
-        planes = [rect_ref[r:r + 1, j:j + CHUNK] for r in range(14 + N_FEAT)]
+    chunk = eff_chunk(n_rect, CHUNK)
+    for j in range(0, n_rect, chunk):
+        planes = [rect_ref[r:r + 1, j:j + chunk] for r in range(14 + N_FEAT)]
         (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes[:14]
         d_n = rv.dx * nx + rv.dy * ny + rv.dz * nz
         o_n = rv.ox * nx + rv.oy * ny + rv.oz * nz
@@ -325,7 +336,7 @@ def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
         ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
               & (t >= rv.tmin) & (t <= rv.tmax))
         carry = _fold(carry, t, ok, float(j), PRIM_RECT,
-                      rect_ref[:, j:j + CHUNK],
+                      rect_ref[:, j:j + chunk],
                       list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
     return carry
 
@@ -336,8 +347,9 @@ def tri_stage(carry, rv: RayVals, tri_ref, n_tri: int):
     oxd_x = oy * dz - oz * dy                                   # (T,1)
     oxd_y = oz * dx - ox * dz
     oxd_z = ox * dy - oy * dx
-    for j in range(0, n_tri, CHUNK):
-        pr = [tri_ref[r:r + 1, j:j + CHUNK] for r in range(25 + N_FEAT)]
+    chunk = eff_chunk(n_tri, CHUNK)
+    for j in range(0, n_tri, chunk):
+        pr = [tri_ref[r:r + 1, j:j + chunk] for r in range(25 + N_FEAT)]
         (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
          w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr[:16]
         div = -(dx * ngx + dy * ngy + dz * ngz)
@@ -353,7 +365,7 @@ def tri_stage(carry, rv: RayVals, tri_ref, n_tri: int):
         # winner geometry slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz]; the
         # barycentrics are per-pair computed values -> VPU reductions
         carry = _fold(carry, t, ok, float(j), PRIM_TRIANGLE,
-                      tri_ref[16:, j:j + CHUNK],
+                      tri_ref[16:, j:j + chunk],
                       list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
                       [(0, b1), (1, b2)])
     return carry
