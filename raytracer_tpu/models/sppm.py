@@ -529,10 +529,13 @@ def render(scene: Scene, config: RenderConfig, key,
             checkpoint_cb(state)
 
     # final gather, host-batched like path_tracer.render (long single
-    # dispatches can trip the device/tunnel)
+    # dispatches can trip the device/tunnel). The depth-50 specular walk is
+    # long-tailed, so additionally bound the per-dispatch lane count
+    # (measured: ~40M lanes x depth 50 kills the tunnel; ~16M is safe).
     n_total = sp.n_iterations * sp.photons_per_iter
     total = config.samples_per_pixel
-    batch = max(1, min(config.host_spp_batch, total))
+    lane_budget = max(1, 16_000_000 // npix)
+    batch = max(1, min(config.host_spp_batch, total, lane_budget))
     done, i, rays_total, accum = 0, 0, 0, None
     while done < total:
         spp = min(batch, total - done)

@@ -28,6 +28,18 @@ fewer ray/sphere pairs on scene_500-class wavefronts (measured in
 experiments/leaf_stats.py); the winner's material features are extracted
 with one final one-hot matmul so shading still needs no table gathers.
 
+MEASURED OUTCOME (ROUND_NOTES round 2, experiments/leaf_scaling_bench.py):
+the candidate reduction does NOT translate into wall-clock wins on this
+hardware — the dense kernel runs at ~85% of VPU single-issue peak and the
+walk's per-iteration selection cost grows with the leaf count, so the
+dense kernel is faster at every measured scene size (40 vs 58 ms at 1k
+spheres, 405 vs 2214 ms at 16k, per 960k-ray cast). This kernel is kept as
+an explicit ``--intersector leaf`` option and as the measured record of
+why per-ray acceleration-structure walks lose to dense VMEM-resident scans
+on a lockstep vector machine; auto dispatch never selects it. Its
+whole-tile alive skip and the alive plumbing it introduced benefit all
+kernels.
+
 Rects and triangles reuse the dense stages (their counts are small in every
 driver scene); the XLA flat-BVH path (ops/bvh.py) remains the fallback for
 huge triangle meshes.

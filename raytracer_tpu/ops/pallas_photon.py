@@ -84,11 +84,14 @@ def _query_kernel(near_ref, pts_ref, r2_ref, cap2_ref, posf_ref,
     r2 = r2_ref[:]                                            # (T,1)
     cap2 = cap2_ref[:]
     tile = pl.program_id(0)
+    n_words = -(-n_chunks // 32)
 
     def chunk_fn(j, acc):
-        # per-(tile, chunk) cull mask, precomputed in XLA and passed as a
-        # flat scalar-prefetch array (SMEM allows dynamic scalar reads)
-        near = near_ref[tile * n_chunks + j] > 0
+        # per-(tile, chunk) cull bit, precomputed in XLA and passed as a
+        # bit-packed scalar-prefetch array (SMEM allows dynamic scalar
+        # reads but holds ~1 MB — bits keep 800x800-class images in budget)
+        word = near_ref[tile * n_words + j // 32]
+        near = ((word >> (j % 32)) & 1) > 0
 
         def body(acc):
             base = pl.multiple_of(j * chunk, chunk)
@@ -150,6 +153,12 @@ def _call_query(pts, r2, cap2, posf, payload, cull, *, n_chunks, chunk,
                                   tlo[:, None] - chi[None]), 0.0)
     dist2 = jnp.sum(gap * gap, axis=-1)                        # (G, K)
     near = (dist2 <= (treach * treach)[:, None]).astype(jnp.int32)
+    # bit-pack along the chunk axis (32 chunks per i32 word)
+    n_words = -(-n_chunks // 32)
+    near = jnp.pad(near, [(0, 0), (0, n_words * 32 - n_chunks)])
+    near = jnp.sum(
+        near.reshape(-1, n_words, 32) << jnp.arange(32, dtype=jnp.int32),
+        axis=2, dtype=jnp.int32)                               # (G, W)
 
     rs = lambda w: pl.BlockSpec((TILE, w), lambda i, near: (i, 0),
                                 memory_space=pltpu.VMEM)
