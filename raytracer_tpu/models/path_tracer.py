@@ -206,8 +206,12 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
     ``config.host_spp_batch`` (long single dispatches can trip the device)."""
     import numpy as np
     total = config.samples_per_pixel
+    npix = config.width * config.height
     batch = max(1, min(config.host_spp_batch, total))
-    spp_chunk = max(1, min(config.spp_chunk, batch))
+    # keep wavefronts under ~1.5M lanes: larger ones push the loop temps
+    # into HBM pressure and XLA buffer compression (ROUND_NOTES round 2)
+    spp_chunk = max(1, min(config.spp_chunk, batch,
+                           max(1, 1_500_000 // npix)))
     done = 0
     accum = None
     rays_total = 0

@@ -536,13 +536,17 @@ def render(scene: Scene, config: RenderConfig, key,
     total = config.samples_per_pixel
     lane_budget = max(1, 16_000_000 // npix)
     batch = max(1, min(config.host_spp_batch, total, lane_budget))
+    # wavefronts above ~1.5M lanes push the padded loop temps into HBM
+    # pressure (XLA starts compressing/rematting buffers: measured 0.81 vs
+    # 1.47 s/spp at 800x800 for 1.28M vs 2.56M lanes — ROUND_NOTES round 2)
+    chunk_budget = max(1, 1_500_000 // npix)
     done, i, rays_total, accum = 0, 0, 0, None
     while done < total:
         spp = min(batch, total - done)
         img, rays = gather_fn(
             scene, state, jax.random.fold_in(jax.random.fold_in(key, 23), i),
             width=config.width, height=config.height, spp=spp,
-            spp_chunk=max(1, min(config.spp_chunk, spp)),
+            spp_chunk=max(1, min(config.spp_chunk, spp, chunk_budget)),
             max_depth=config.max_depth, t_min=config.t_min,
             spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
             intersector=config.intersector)

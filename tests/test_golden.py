@@ -2,7 +2,11 @@
 (SURVEY.md §4: the reference's only integration test is a human looking at
 the CI artifact; these are the automated version — mean/percentile bands,
 not pixel-exact, so backend/version FP drift doesn't false-alarm while real
-transport regressions do)."""
+transport regressions do).
+
+These goldens are self-generated regression ANCHORS; absolute correctness
+is established separately by tests/test_reference_parity.py (independent
+f64 oracle) and the analytic oracles in test_render/test_nee."""
 
 import os
 
