@@ -94,6 +94,20 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     inside the traced loop, see ROUND_NOTES.md round 2)."""
     n = o.shape[0]
 
+    # SoA fast path: all wavefront state as (N,) components — avoids the
+    # 42.7x (8,128)-tile padding XLA gives (N,3) loop temps (measured 1.34x;
+    # models/wavefront_soa.py). Same semantics, same key streams.
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf") and time is None
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import trace_radiance_soa
+        radiance, rays = trace_radiance_soa(
+            scene, o, d, key, max_depth=max_depth, t_min=t_min,
+            spawn_eps=spawn_eps, intersector=method,
+            russian_roulette=russian_roulette, nee=nee)
+        return TraceResult(radiance, rays)
+
     class S(NamedTuple):
         bounce: jnp.ndarray
         o: jnp.ndarray

@@ -140,6 +140,16 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
     o, d = camera_rays(scene.camera, k_cam, pixel_ids, width, height)
     n = o.shape[0]
 
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import measurement_soa
+        valid, p, normal, bsdf = measurement_soa(
+            scene, o, d, k_walk=k_walk, max_depth=max_depth, t_min=t_min,
+            spawn_eps=spawn_eps, intersector=method)
+        return MeasurePoints(valid, p, normal, bsdf)
+
     class S(NamedTuple):
         o: jnp.ndarray
         d: jnp.ndarray
@@ -410,6 +420,14 @@ def gather_walk(scene: Scene, o, d, est_rep, k_walk, *, max_depth, t_min,
     wavefront: Le at EVERY hit, the lane's density estimate at the first
     Diffuse hit, Reflect/Refract/Specular chains multiply throughput.
     Returns (radiance (N,3), rays ())."""
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import gather_walk_soa
+        return gather_walk_soa(scene, o, d, est_rep, k_walk,
+                               max_depth=max_depth, t_min=t_min,
+                               spawn_eps=spawn_eps, intersector=method)
 
     class S(NamedTuple):
         o: jnp.ndarray
