@@ -1,0 +1,124 @@
+"""SoA wavefront loops vs the AoS reference implementations.
+
+The SoA paths (models/wavefront_soa.py) must be statistically equivalent
+to the (N,3) AoS paths they replaced — same transport, same key streams.
+The AoS loops remain in the tree for media/motion-blur/bruteforce scenes,
+so these tests pin the two implementations together."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.models import path_tracer as pt
+from raytracer_tpu.models import sppm as sppm_model
+from raytracer_tpu.models.camera import camera_rays
+from raytracer_tpu.scene.builtin import cornell_box, three_spheres
+from raytracer_tpu.scene.loader import load_scene
+
+import os
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+def _trace_aos(scene, o, d, key, **kw):
+    """Call the AoS loop directly (bypassing the SoA dispatch) by asking
+    for the bruteforce intersector, which is never SoA-eligible."""
+    return pt.trace_radiance(scene, o, d, key, intersector="bruteforce",
+                             **kw)
+
+
+def test_soa_matches_aos_cornell():
+    scene = cornell_box(with_mesh=True)
+    n = 4096
+    key = jax.random.PRNGKey(0)
+    pix = jnp.arange(n, dtype=jnp.int32) % (64 * 64)
+    o, d = camera_rays(scene.camera, key, pix, 64, 64)
+    kw = dict(max_depth=8, t_min=1e-3, spawn_eps=0.1)
+    r_soa = pt.trace_radiance(scene, o, d, key, intersector="pallas", **kw)
+    r_aos = _trace_aos(scene, o, d, key, **kw)
+    # identical keys -> identical random streams; only FP association
+    # differs between the component-wise and vector forms
+    np.testing.assert_allclose(np.asarray(r_soa.radiance),
+                               np.asarray(r_aos.radiance),
+                               rtol=2e-3, atol=2e-3)
+    assert int(r_soa.rays_traced) == int(r_aos.rays_traced)
+
+
+def test_soa_matches_aos_scene500_checker():
+    scene = load_scene(os.path.join(DATA, "scene_500.json"))
+    n = 4096
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.uniform([-11, 0.5, -11], [11, 3, 11], (n, 3)),
+                    jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    kw = dict(max_depth=6, t_min=1e-3, spawn_eps=2.5e-3)
+    r_soa = pt.trace_radiance(scene, o, d, key, intersector="pallas", **kw)
+    r_aos = _trace_aos(scene, o, d, key, **kw)
+    np.testing.assert_allclose(np.asarray(r_soa.radiance),
+                               np.asarray(r_aos.radiance),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_soa_measurement_matches_aos():
+    scene = cornell_box(with_mesh=False)
+    key = jax.random.PRNGKey(3)
+    ids = jnp.arange(32 * 32, dtype=jnp.int32)
+    kw = dict(width=32, height=32, max_depth=8, t_min=1e-3, spawn_eps=0.1)
+    m_soa = sppm_model.measurement_pass(scene, key, ids,
+                                        intersector="pallas", **kw)
+    m_aos = sppm_model.measurement_pass(scene, key, ids,
+                                        intersector="bruteforce", **kw)
+    v1, v2 = np.asarray(m_soa.valid), np.asarray(m_aos.valid)
+    assert (v1 == v2).mean() > 0.999
+    both = v1 & v2
+    np.testing.assert_allclose(np.asarray(m_soa.p)[both],
+                               np.asarray(m_aos.p)[both],
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(m_soa.bsdf)[both],
+                               np.asarray(m_aos.bsdf)[both],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_soa_gather_matches_aos():
+    scene = cornell_box(with_mesh=False)
+    n = 1024
+    key = jax.random.PRNGKey(4)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    o, d = camera_rays(scene.camera, key, pix, 32, 32)
+    est = jnp.full((n, 3), 0.25, jnp.float32)
+    kw = dict(max_depth=8, t_min=1e-3, spawn_eps=0.1)
+    r_soa, rays_soa = sppm_model.gather_walk(scene, o, d, est, key,
+                                             intersector="pallas", **kw)
+    r_aos, rays_aos = sppm_model.gather_walk(scene, o, d, est, key,
+                                             intersector="bruteforce", **kw)
+    np.testing.assert_allclose(np.asarray(r_soa), np.asarray(r_aos),
+                               rtol=2e-3, atol=2e-3)
+    assert int(rays_soa) == int(rays_aos)
+
+
+def test_soa_image_texture_scene():
+    """Image textures take the stacked-gather fallback inside the SoA
+    texture eval; an earthmap sphere must shade identically."""
+    from raytracer_tpu.scene import SceneBuilder
+    from raytracer_tpu.utils.image import load_image
+    tex_dir = os.path.join(os.path.dirname(__file__), "..", "texture")
+    img = load_image(os.path.join(tex_dir, "earthmap.jpg"))
+    b = SceneBuilder()
+    m = b.lambertian(b.image_texture(img))
+    b.add_sphere((0, 0, -4), 2.0, m)
+    lm = b.diffuse_light(b.constant_texture((4, 4, 4)))
+    b.add_sphere((0, 6, -4), 1.0, lm)
+    scene = b.compile()
+    n = 2048
+    rng = np.random.default_rng(6)
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.asarray(np.stack([rng.uniform(-0.5, 0.5, n),
+                              rng.uniform(-0.5, 0.5, n),
+                              -np.ones(n)], -1), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    kw = dict(max_depth=4, t_min=1e-3, spawn_eps=1e-3)
+    r_soa = pt.trace_radiance(scene, o, d, key, intersector="pallas", **kw)
+    r_aos = _trace_aos(scene, o, d, key, **kw)
+    np.testing.assert_allclose(np.asarray(r_soa.radiance),
+                               np.asarray(r_aos.radiance),
+                               rtol=2e-3, atol=2e-3)
