@@ -299,6 +299,10 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
         any_hit = jnp.any(enter <= leave)
 
         def chunk_body(c, j=j):
+            # NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at
+            # HIGHEST) was measured SLOWER (65 vs 42-47 ms per 960k cast) —
+            # the K=3 matmul + operand relayouts cost more than the 10 VPU
+            # broadcast passes they replace. Kept on the VPU.
             cx = sph_ref[0:1, j:j + chunk]                      # (1,C)
             cy = sph_ref[1:2, j:j + chunk]
             cz = sph_ref[2:3, j:j + chunk]
