@@ -105,6 +105,9 @@ def cmd_render(args) -> int:
         if args.bvh or args.intersector == "bvh":
             from raytracer_tpu.ops.bvh import build_bvh
             scene = build_bvh(scene)
+        if args.intersector == "leaf":
+            from raytracer_tpu.ops.pallas_bvh import build_leaf_tables
+            scene = scene._replace(leaf=build_leaf_tables(scene))
     key = jax.random.PRNGKey(cfg.seed)
 
     with maybe_profile(args.profile_dir):

@@ -439,12 +439,9 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
         sc = scatter_soa(scene, k, dx, dy, dz, h, f)
         live = alive & h.valid
         diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
-        # bsdf color: albedo, 1/pi for diffuse lights (material.rs bsdf)
-        alr, alg, alb = eval_texture_soa(scene, f, h)
-        is_lgt = f.kind == MAT_DIFFUSE_LIGHT
-        br = jnp.where(is_lgt, FRAC_1_PI, alr)
-        bg = jnp.where(is_lgt, FRAC_1_PI, alg)
-        bb = jnp.where(is_lgt, FRAC_1_PI, alb)
+        # bsdf color = albedo, 1/pi for diffuse lights (material.rs bsdf) —
+        # exactly scatter's attenuation; no second texture evaluation
+        br, bg, bb = sc.ar, sc.ag, sc.ab
         ov2 = ov | diffuse_now
         opx2 = jnp.where(diffuse_now, h.px, opx)
         opy2 = jnp.where(diffuse_now, h.py, opy)

@@ -126,18 +126,24 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
             n_l = jnp.where(is_sph, sph_n, rect_n)
             inv_pdf = jnp.where(is_sph, sph_inv_pdf, rect_inv_pdf)
 
-            to_light = point - p
+            # offset the shadow origin FIRST, then measure distance from it
+            # (f32 shadow epsilons are relative — Cornell-scale coordinates
+            # have ~0.02 ulps; measuring dist from the un-offset point would
+            # leave the light's own geometry inside the shadow interval)
+            p_sh = p + normal * (1e-4 * scene.scale)
+            to_light = point - p_sh
             dist2 = jnp.maximum(vec.dot(to_light, to_light), 1e-12)
             dist = jnp.sqrt(dist2)
             dir_ = to_light / dist[:, None]
             cos_p = jnp.maximum(vec.dot(normal, dir_), 0.0)
-            cos_l = jnp.maximum(vec.dot(n_l, -dir_), 0.0)
+            # rect lights EMIT two-sided in this framework (materials.py
+            # returns Le with no front-face check), so the rect cos term is
+            # two-sided too; a sphere light's far side is never visible
+            cos_l = jnp.where(is_sph,
+                              jnp.maximum(vec.dot(n_l, -dir_), 0.0),
+                              jnp.abs(vec.dot(n_l, -dir_)))
             geom = cos_p * cos_l / dist2 * inv_pdf
             candidate = valid & (geom > 0.0)
-            # f32 shadow epsilons are relative (Cornell-scale coordinates
-            # have ~0.02 ulps): offset the origin along the normal and end
-            # the ray just short of the light's own geometry
-            p_sh = p + normal * (1e-4 * scene.scale)
             hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
                                   intersector,
                                   alive=(candidate if alive is None

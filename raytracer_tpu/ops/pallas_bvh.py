@@ -58,8 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.ops.intersect import Hit
 from raytracer_tpu.ops.pallas_intersect import (
     BIG, N_FEAT, N_GEO_SLOTS, N_SLOTS, TILE, _feature_rows,
-    attrs_from_winner_data, finish_carry, init_carry, pack_tables, ray_vals,
-    rect_stage, sphere_stage, tri_stage,
+    attrs_from_winner_data, finish_carry, init_carry, pack_rect_tri,
+    ray_vals, rect_stage, sphere_stage, tri_stage,
 )
 from raytracer_tpu.scene.types import PRIM_SPHERE, LeafTables, Scene
 
@@ -297,7 +297,11 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # (T, 17)
     # re-derive the winner's t from its exact f32 record (the candidate pass
-    # ran at 16-bit gather precision; nearest-root-in-range rule as above)
+    # ran at 16-bit gather precision) with the FULL nearest-root-in-range
+    # rule. If the exact test rejects the rounded candidate (disc < 0 or
+    # both roots out of range — grazing rays near the bf16 threshold), the
+    # leaf winner is demoted entirely so the dense-stage result stands
+    # rather than reporting a phantom hit.
     wcx, wcy, wcz, wcsq = win[:, 0:1], win[:, 1:2], win[:, 2:3], win[:, 3:4]
     hb = rv.o_dot_d - (rv.dx * wcx + rv.dy * wcy + rv.dz * wcz)
     ct = rv.o_sq - 2.0 * (rv.ox * wcx + rv.oy * wcy + rv.oz * wcz) + wcsq
@@ -306,7 +310,10 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     r1 = (-hb - sq) * rv.inv_a
     r2 = (-hb + sq) * rv.inv_a
     ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
-    lt = jnp.where(leaf_won & (disc >= 0.0), jnp.where(ok1, r1, r2), lt)
+    ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
+    t_exact = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+    leaf_won = leaf_won & (disc >= 0.0) & (t_exact < BIG)
+    lt = jnp.where(leaf_won, t_exact, lt)
 
     leaf_data = jnp.concatenate([
         win[:, 0:4],                                  # slots 0-3: geometry
@@ -376,7 +383,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     lt = scene.leaf
     if lt is None:
         raise ValueError("scene has no leaf tables; call with_leaf_tables")
-    _, rect, tri, _ = pack_tables(scene)   # rect/tri planes (trace-time)
+    rect, tri = pack_rect_tri(scene)       # rect/tri planes (trace-time)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(

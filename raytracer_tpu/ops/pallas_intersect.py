@@ -131,6 +131,12 @@ def pack_tables(scene: Scene):
     Spheres are Morton-ordered; returns (sph, rect, tri, sph_cull) where
     sph_cull is the (6, n_sph_chunks) per-chunk AABB table and the sphere
     block carries an extra original-index row (row 4+N_FEAT)."""
+    sph, cull = _pack_spheres(scene)
+    rec, tri = pack_rect_tri(scene)
+    return sph, rec, tri, cull
+
+
+def _pack_spheres(scene: Scene):
     s = scene.spheres
     n_s = s.radius.shape[0]
     if n_s:
@@ -155,7 +161,13 @@ def pack_tables(scene: Scene):
         sph = jnp.zeros((5 + N_FEAT, SPH_CHUNK), jnp.float32).at[3, :].set(3e38)
         cull = jnp.concatenate([jnp.full((3, 1), 3e38),
                                 jnp.full((3, 1), -3e38)], 0)
+    return sph, cull
 
+
+def pack_rect_tri(scene: Scene):
+    """Rect/tri component planes only (the leaf kernel packs spheres
+    host-side; rebuilding the Morton-sorted sphere table per call would be
+    traced into every bounce)."""
     rct = scene.rects
     n_r = rct.k.shape[0]
     if n_r:
@@ -187,7 +199,7 @@ def pack_tables(scene: Scene):
         tri = _pad_cols(tri, eff_chunk(n_t, CHUNK), 0.0)   # zeros -> div = 0
     else:
         tri = jnp.zeros((25 + N_FEAT, CHUNK), jnp.float32)
-    return sph, rec, tri, cull
+    return rec, tri
 
 
 # ----------------------------------------------------------------- kernel

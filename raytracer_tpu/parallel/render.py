@@ -51,11 +51,11 @@ def make_mesh(n_px: Optional[int] = None, n_spp: int = 1,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "spp_chunk",
-                     "max_depth", "intersector"))
+                     "max_depth", "intersector", "nee"))
 def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
                       height: int, spp: int, spp_chunk: int, max_depth: int,
                       t_min: float, spawn_eps_rel: float,
-                      intersector: str = "auto"):
+                      intersector: str = "auto", nee: bool = False):
     """Render the image across the mesh. Returns ((H,W,3) image, rays)."""
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
@@ -83,7 +83,7 @@ def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
             o, d = camera_rays(scene_rep.camera, k_cam, ids_rep, width, height)
             res = trace_radiance(
                 scene_rep, o, d, k_trace, max_depth=max_depth, t_min=t_min,
-                spawn_eps=spawn_eps, intersector=intersector)
+                spawn_eps=spawn_eps, intersector=intersector, nee=nee)
             rad = res.radiance.reshape(chunk, n_local, 3).sum(axis=0)
             # rays metric = intersections executed; bounce 0 already counts
             # the primaries (same fix as models/path_tracer.py)
@@ -124,4 +124,5 @@ def render(scene: Scene, config: RenderConfig, key, mesh: Optional[Mesh] = None)
         scene, key, mesh=mesh, width=config.width, height=config.height,
         spp=config.samples_per_pixel, spp_chunk=config.spp_chunk,
         max_depth=config.max_depth, t_min=config.t_min,
-        spawn_eps_rel=config.spawn_eps_rel, intersector=config.intersector)
+        spawn_eps_rel=config.spawn_eps_rel, intersector=config.intersector,
+        nee=config.nee)

@@ -170,7 +170,7 @@ class LeafTables(NamedTuple):
     spheres; per ray the kernel slab-tests all leaf AABBs and intersects
     only the spheres of hit leaves (rank-selected K leaves per iteration via
     one-hot MXU gathers). Static sizes are encoded in the shapes:
-    L = aabb.shape[1], LEAF = table.shape[1] // L, K = kron.shape[2] // LEAF.
+    L = aabb.shape[1], LEAF = table.shape[1] // L, K = kron.shape[3] // LEAF.
     """
     aabb: jnp.ndarray   # (6, L) leaf slab planes: rows 0-2 min, 3-5 max
     kron: jnp.ndarray   # (2, 5, K*L, K*LEAF) bf16 block-diag gather mats,

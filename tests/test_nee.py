@@ -55,6 +55,35 @@ def test_nee_lower_variance():
     assert v_ne < v_pt / 5.0, (v_pt, v_ne)
 
 
+def test_nee_two_sided_rect_light():
+    """Surfaces ABOVE the light plane must still get direct light under
+    NEE: emission in this framework is two-sided, so the rect cos term is
+    two-sided too (regression for the one-sided bug that zeroed all direct
+    light above the plane in --nee mode). Uses a mid-height light panel
+    with a diffuse ceiling well above it."""
+    from raytracer_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
+    b.add_rect(1, 500.0, 0.0, 555.0, 0.0, 555.0, white)   # ceiling y=500
+    b.add_xzrect_light(213.0, 227.0, 343.0, 332.0, 300.0, (1.0, 1.0, 1.0),
+                       1.0)                                # panel y=300
+    scene = b.compile()
+
+    def shoot_up(nee, depth, seed, count):
+        # straight up from under the ceiling, outside the panel's extent
+        oo = jnp.broadcast_to(jnp.asarray([278.0, 400.0, 278.0]), (count, 3))
+        dd = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (count, 3))
+        res = trace_radiance(scene, oo, dd, jax.random.PRNGKey(seed),
+                             max_depth=depth, t_min=1e-3, spawn_eps=0.05,
+                             russian_roulette=False, nee=nee)
+        return np.asarray(res.radiance)
+
+    m_ne = shoot_up(True, 1, 10, 8192).mean(0).mean()
+    m_pt = shoot_up(False, 2, 11, 65536).mean(0).mean()
+    assert m_ne > 1e-4, "ceiling lost all direct light under NEE"
+    np.testing.assert_allclose(m_ne, m_pt, rtol=0.15)
+
+
 def test_nee_full_render_finite():
     """render_fn with nee on a small Cornell image: finite, lit interior."""
     from raytracer_tpu.models.path_tracer import render_fn
