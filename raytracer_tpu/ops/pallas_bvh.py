@@ -189,7 +189,7 @@ def with_leaf_tables(scene: Scene, min_spheres: int = 256,
 # ------------------------------------------------------------------- kernel
 
 def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
-                 big_ref, bigcull_ref, rect_ref, tri_ref,
+                 big_ref, bigcull_ref, rect_ref, tri_ref, tcull_ref,
                  aabb_ref, kron_ref, table_ref,
                  t_out, ty_out, ix_out, data_out,
                  *, n_big: int, n_rect: int, n_tri: int,
@@ -206,7 +206,7 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
         carry = sphere_stage(carry, rv, big_ref, bigcull_ref, n_big,
                              chunk=BIG_CHUNK)
         carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, n_tri)
+        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry
 
     carry = jax.lax.cond(any_alive, dense, lambda c: c, init_carry(rv))
@@ -334,7 +334,7 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
                                              "n_leaf", "leaf", "k_slots",
                                              "interpret"))
 def _call_leaf_kernel(o, d, tmin, tmax, alive, big, bigcull, rect, tri,
-                      aabb, kron, table, *,
+                      tcull, aabb, kron, table, *,
                       n_big, n_rect, n_tri, n_leaf, leaf, k_slots, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
@@ -360,7 +360,7 @@ def _call_leaf_kernel(o, d, tmin, tmax, alive, big, bigcull, rect, tri,
         grid=grid,
         in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), ray_spec(1),
                   ray_spec(1)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[ray_spec(1), ray_spec(1), ray_spec(1), ray_spec(N_SLOTS)],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
@@ -374,7 +374,8 @@ def _call_leaf_kernel(o, d, tmin, tmax, alive, big, bigcull, rect, tri,
             bytes_accessed=n_pad * 150,
             transcendentals=n_pad * (n_big + k_slots * leaf)),
         interpret=interpret,
-    )(o, d, tmin, tmax, alive, big, bigcull, rect, tri, aabb, kron, table)
+    )(o, d, tmin, tmax, alive, big, bigcull, rect, tri, tcull, aabb, kron,
+      table)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
@@ -383,7 +384,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     lt = scene.leaf
     if lt is None:
         raise ValueError("scene has no leaf tables; call with_leaf_tables")
-    rect, tri = pack_rect_tri(scene)       # rect/tri planes (trace-time)
+    rect, tri, tcull = pack_rect_tri(scene)  # rect/tri planes (trace-time)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
@@ -397,7 +398,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     # an all-pad big table keeps its inverted chunk AABBs, so its one chunk
     # is cond-skipped in-kernel at slab-test cost — no static flag needed
     return _call_leaf_kernel(
-        o, d, tmin, tmax, alive, lt.big, lt.big_cull, rect, tri,
+        o, d, tmin, tmax, alive, lt.big, lt.big_cull, rect, tri, tcull,
         lt.aabb, lt.kron, lt.table,
         n_big=lt.big.shape[1],
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,

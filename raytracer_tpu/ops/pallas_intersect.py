@@ -132,8 +132,8 @@ def pack_tables(scene: Scene):
     sph_cull is the (6, n_sph_chunks) per-chunk AABB table and the sphere
     block carries an extra original-index row (row 4+N_FEAT)."""
     sph, cull = _pack_spheres(scene)
-    rec, tri = pack_rect_tri(scene)
-    return sph, rec, tri, cull
+    rec, tri, tcull = pack_rect_tri(scene)
+    return sph, rec, tri, cull, tcull
 
 
 def _pack_spheres(scene: Scene):
@@ -189,17 +189,38 @@ def pack_rect_tri(scene: Scene):
     tr = scene.triangles
     n_t = tr.mat_id.shape[0]
     if n_t:
-        n_geo = jnp.cross(tr.e1, tr.e2)
-        rows = [n_geo.T, tr.e1.T, tr.e2.T, jnp.cross(tr.e2, tr.v0).T,
-                jnp.cross(tr.e1, tr.v0).T, jnp.sum(tr.v0 * n_geo, -1)[None],
-                tr.n0.T, tr.n1.T, tr.n2.T]
+        tri_chunk = eff_chunk(n_t, CHUNK)
+        # Morton order by centroid: consecutive chunks become spatially
+        # compact, enabling the per-chunk AABB cull (meshes are the one
+        # primitive class big enough for it to matter — bun315 is 4,968
+        # tris = 10 chunks, and primary rays see only a few)
+        centroid = tr.v0 + (tr.e1 + tr.e2) / 3.0
+        order = _morton_order(centroid.astype(jnp.float32))
+        v0 = tr.v0[order]
+        e1 = tr.e1[order]
+        e2 = tr.e2[order]
+        n_geo = jnp.cross(e1, e2)
+        orig = order.astype(jnp.float32)[None]
+        rows = [n_geo.T, e1.T, e2.T, jnp.cross(e2, v0).T,
+                jnp.cross(e1, v0).T, jnp.sum(v0 * n_geo, -1)[None],
+                tr.n0[order].T, tr.n1[order].T, tr.n2[order].T]
         tri = jnp.concatenate(
             [x.astype(jnp.float32) for x in rows]
-            + [_feature_rows(scene, tr.mat_id)], 0)
-        tri = _pad_cols(tri, eff_chunk(n_t, CHUNK), 0.0)   # zeros -> div = 0
+            + [_feature_rows(scene, tr.mat_id[order]), orig], 0)
+        tri = _pad_cols(tri, tri_chunk, 0.0)               # zeros -> div = 0
+        lo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2).T
+        hi = jnp.maximum(jnp.maximum(v0, v0 + e1), v0 + e2).T
+        lo = _pad_cols(lo, tri_chunk, 3e38)
+        hi = _pad_cols(hi, tri_chunk, -3e38)
+        k = lo.shape[1] // tri_chunk
+        tcull = jnp.concatenate([
+            lo.reshape(3, k, tri_chunk).min(2),
+            hi.reshape(3, k, tri_chunk).max(2)], 0)        # (6, k)
     else:
-        tri = jnp.zeros((25 + N_FEAT, CHUNK), jnp.float32)
-    return rec, tri
+        tri = jnp.zeros((26 + N_FEAT, CHUNK), jnp.float32)
+        tcull = jnp.concatenate([jnp.full((3, 1), 3e38),
+                                 jnp.full((3, 1), -3e38)], 0)
+    return rec, tri, tcull
 
 
 # ----------------------------------------------------------------- kernel
@@ -357,33 +378,56 @@ def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
     return carry
 
 
-def tri_stage(carry, rv: RayVals, tri_ref, n_tri: int):
-    """Scalar-triple-product Möller–Trumbore (mesh.rs:57-98 semantics)."""
+def tri_stage(carry, rv: RayVals, tri_ref, tcull_ref, n_tri: int):
+    """Chunk-culled scalar-triple-product Möller–Trumbore (mesh.rs:57-98
+    semantics). Triangles are Morton-ordered with per-chunk AABBs
+    (tcull_ref), so mesh chunks a ray's slab misses are cond-skipped like
+    the sphere chunks."""
     ox, oy, oz, dx, dy, dz = rv.ox, rv.oy, rv.oz, rv.dx, rv.dy, rv.dz
     oxd_x = oy * dz - oz * dy                                   # (T,1)
     oxd_y = oz * dx - ox * dz
     oxd_z = ox * dy - oy * dx
     chunk = eff_chunk(n_tri, CHUNK)
     for j in range(0, n_tri, chunk):
-        pr = [tri_ref[r:r + 1, j:j + chunk] for r in range(25 + N_FEAT)]
-        (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
-         w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr[:16]
-        div = -(dx * ngx + dy * ngy + dz * ngz)
-        safe = div != 0.0
-        inv = 1.0 / jnp.where(safe, div, 1.0)
-        b1 = ((oxd_x * e2x + oxd_y * e2y + oxd_z * e2z)
-              - (dx * w2x + dy * w2y + dz * w2z)) * inv
-        b2 = (-(oxd_x * e1x + oxd_y * e1y + oxd_z * e1z)
-              + (dx * w1x + dy * w1y + dz * w1z)) * inv
-        t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
-        ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
-              & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
-        # winner geometry slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz]; the
-        # barycentrics are per-pair computed values -> VPU reductions
-        carry = _fold(carry, t, ok, float(j), PRIM_TRIANGLE,
-                      tri_ref[16:, j:j + chunk],
-                      list(range(2, 11)) + list(range(N_GEO_SLOTS, N_SLOTS)),
-                      [(0, b1), (1, b2)])
+        jc = j // chunk
+        t0x = (tcull_ref[0, jc] - ox) * rv.inv_dx
+        t1x = (tcull_ref[3, jc] - ox) * rv.inv_dx
+        t0y = (tcull_ref[1, jc] - oy) * rv.inv_dy
+        t1y = (tcull_ref[4, jc] - oy) * rv.inv_dy
+        t0z = (tcull_ref[2, jc] - oz) * rv.inv_dz
+        t1z = (tcull_ref[5, jc] - oz) * rv.inv_dz
+        enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+        leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z),
+                                        jnp.minimum(carry[0], rv.tmax)))
+        any_hit = jnp.any(enter <= leave)
+
+        def chunk_body(c, j=j):
+            pr = [tri_ref[r:r + 1, j:j + chunk] for r in range(16)]
+            (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
+             w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr
+            div = -(dx * ngx + dy * ngy + dz * ngz)
+            safe = div != 0.0
+            inv = 1.0 / jnp.where(safe, div, 1.0)
+            b1 = ((oxd_x * e2x + oxd_y * e2y + oxd_z * e2z)
+                  - (dx * w2x + dy * w2y + dz * w2z)) * inv
+            b2 = (-(oxd_x * e1x + oxd_y * e1y + oxd_z * e1z)
+                  + (dx * w1x + dy * w1y + dz * w1z)) * inv
+            t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
+            ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
+                  & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
+            # winner slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz | feats | orig];
+            # the barycentrics are per-pair computed -> VPU reductions
+            return _fold(c, t, ok, float(j), PRIM_TRIANGLE,
+                         tri_ref[16:, j:j + chunk],
+                         list(range(2, 11))
+                         + list(range(N_GEO_SLOTS, N_SLOTS)) + [14],
+                         [(0, b1), (1, b2)])
+
+        carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
     return carry
 
 
@@ -391,8 +435,10 @@ def finish_carry(carry, t_out, ty_out, ix_out, data_out):
     """Write the folded winner to the output refs (shared epilogue)."""
     best_t, best_ty, best_ix, best_data = carry
     miss = best_ty < 0.0
-    # spheres are Morton-reordered; slot 14 carries the original index
-    best_ix = jnp.where(best_ty == float(PRIM_SPHERE),
+    # spheres and triangles are Morton-reordered; slot 14 carries the
+    # original index for both
+    best_ix = jnp.where((best_ty == float(PRIM_SPHERE))
+                        | (best_ty == float(PRIM_TRIANGLE)),
                         best_data[:, 14:15], best_ix)
     t_out[:] = jnp.where(miss, BIG, best_t)  # mapped to +inf by the wrapper
     ty_out[:] = best_ty.astype(jnp.int32)
@@ -401,7 +447,7 @@ def finish_carry(carry, t_out, ty_out, ix_out, data_out):
 
 
 def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
-                    sph_ref, rect_ref, tri_ref, cull_ref,
+                    sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
                     t_out, ty_out, ix_out, data_out,
                     *, n_sph: int, n_rect: int, n_tri: int):
     # whole-tile skip for fully-retired tiles: a value-returning cond keeps
@@ -413,7 +459,7 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     def live(carry):
         carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph)
         carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, n_tri)
+        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry
 
     carry = jax.lax.cond(any_alive, live, lambda c: c, init_carry(rv))
@@ -422,7 +468,7 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, *,
+def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, *,
                  n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
@@ -454,6 +500,7 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -472,13 +519,13 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, *,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, tmax, alive, sph, rect, tri, cull)
+    )(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
 
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
-    sph, rect, tri, cull = pack_tables(scene)
+    sph, rect, tri, cull, tcull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
@@ -489,7 +536,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     # empty tables are padded to one dummy always-miss chunk; skip their
     # stages entirely (a dummy chunk costs as much as a real one)
     return _call_kernel(
-        o, d, tmin, tmax, alive, sph, rect, tri, cull,
+        o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
