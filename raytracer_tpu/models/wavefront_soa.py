@@ -272,7 +272,13 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
                        russian_roulette: bool = True, nee: bool = False):
     """SoA twin of path_tracer.trace_radiance for the pallas/leaf
     intersectors (no media, no motion blur). Returns (radiance (N,3),
-    rays ())."""
+    rays ()).
+
+    Stream compaction was measured and rejected a THIRD time here: even
+    with (N,) component state the stable-partition's in-loop scatter is
+    pathological on TPU (667 -> 3533 ms per 16-bounce trace with it on;
+    ROUND_NOTES round 2). Dead lanes stay in place; the kernels' alive
+    masking carries the savings instead."""
     n = o.shape[0]
 
     def cond(s):
