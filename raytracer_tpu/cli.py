@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume SPPM from a checkpoint file")
     r.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace")
+    r.add_argument("--jax-cache", default="output/.jax_cache",
+                   help="persistent XLA compilation-cache dir (skips "
+                        "recompiles on repeat runs); '' disables")
     r.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the sanitizer analog — the "
                         "reference relies on Rust safety + clippy only)")
@@ -81,6 +84,14 @@ def cmd_render(args) -> int:
     from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    if args.jax_cache:
+        # persistent XLA compilation cache: first-render compiles are
+        # 30-90 s through the TPU tunnel; repeat runs of the same config
+        # skip them entirely
+        import os as _os
+        _os.makedirs(args.jax_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from raytracer_tpu.utils.image import save_render
     from raytracer_tpu.utils.timing import StageTimer, maybe_profile
 
