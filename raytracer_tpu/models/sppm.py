@@ -288,14 +288,20 @@ def measure_update_block(scene: Scene, glob: SPPMHalf, caus: SPPMHalf,
                            max_camera_bounces, t_min, spawn_eps, intersector)
     extent = jnp.maximum(scene.bounds_max - scene.bounds_min, 1e-6)
     cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
+    # the cap-radius sums only feed the FIRST-touch density init
+    # (_update_half's `first` branch); for initialized pixels pass their own
+    # (shrinking) radius as the cap so the dense query's chunk cull tightens
+    # every iteration — identical results, far fewer live chunks
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(glob.photons > 0, rg, cap_radius)
-    qg = _query(g_grid, grid_res, pts.p, rg, cap_radius, k_per_cell,
+    cap_g = jnp.where(glob.photons > 0, rg, cap_radius)
+    qg = _query(g_grid, grid_res, pts.p, rg, cap_g, k_per_cell,
                 query_chunk, query_impl)
     glob = _update_half(glob, pts, qg, k_global, alpha, cap_radius)
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(caus.radius2, 0.0)), cap_radius)
     rc = jnp.where(caus.photons > 0, rc, cap_radius)
-    qc = _query(c_grid, grid_res, pts.p, rc, cap_radius, k_per_cell,
+    cap_c = jnp.where(caus.photons > 0, rc, cap_radius)
+    qc = _query(c_grid, grid_res, pts.p, rc, cap_c, k_per_cell,
                 query_chunk, query_impl)
     caus = _update_half(caus, pts, qc, k_caustic, alpha, cap_radius)
     return glob, caus
@@ -383,16 +389,20 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
     # 4. stat updates; query radius capped at one grid cell
     extent = jnp.maximum(scene.bounds_max - scene.bounds_min, 1e-6)
     cap_radius = jnp.min(extent / jnp.asarray(grid_res, jnp.float32))
+    # per-point cap = own radius once initialized (cap sums only feed the
+    # first-touch init; tightens the query's chunk cull every iteration)
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(state.glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(state.glob.photons > 0, rg, cap_radius)
-    qg = _query(g_grid, grid_res, pts.p, rg, cap_radius, k_per_cell,
-                query_chunk, query_impl)
+    qg = _query(g_grid, grid_res, pts.p, rg,
+                jnp.where(state.glob.photons > 0, rg, cap_radius),
+                k_per_cell, query_chunk, query_impl)
     glob = _update_half(state.glob, pts, qg, k_global, alpha, cap_radius)
 
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(state.caustic.radius2, 0.0)), cap_radius)
     rc = jnp.where(state.caustic.photons > 0, rc, cap_radius)
-    qc = _query(c_grid, grid_res, pts.p, rc, cap_radius, k_per_cell,
-                query_chunk, query_impl)
+    qc = _query(c_grid, grid_res, pts.p, rc,
+                jnp.where(state.caustic.photons > 0, rc, cap_radius),
+                k_per_cell, query_chunk, query_impl)
     caus = _update_half(state.caustic, pts, qc, k_caustic, alpha,
                         cap_radius)
 

@@ -85,6 +85,12 @@ def _query_kernel(near_ref, pts_ref, r2_ref, cap2_ref, posf_ref,
     cap2 = cap2_ref[:]
     tile = pl.program_id(0)
     n_words = -(-n_chunks // 32)
+    # cell-sorted photons + image-coherent points: a tile's live chunks
+    # cluster in one band, so the loop runs [lo, hi) instead of all chunks.
+    # Flat prefetch layout: [bits: G*n_words | ranges: 2 per tile]
+    base = pl.num_programs(0) * n_words
+    lo = near_ref[base + 2 * tile]
+    hi = near_ref[base + 2 * tile + 1]
 
     def chunk_fn(j, acc):
         # per-(tile, chunk) cull bit, precomputed in XLA and passed as a
@@ -125,7 +131,7 @@ def _query_kernel(near_ref, pts_ref, r2_ref, cap2_ref, posf_ref,
         return jax.lax.cond(near, body, lambda a: a, acc)
 
     out_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, chunk_fn,
+        lo, hi, chunk_fn,
         jnp.zeros((px.shape[0], 8), jnp.float32))
 
 
@@ -152,7 +158,16 @@ def _call_query(pts, r2, cap2, posf, payload, cull, *, n_chunks, chunk,
     gap = jnp.maximum(jnp.maximum(clo[None] - thi[:, None],
                                   tlo[:, None] - chi[None]), 0.0)
     dist2 = jnp.sum(gap * gap, axis=-1)                        # (G, K)
-    near = (dist2 <= (treach * treach)[:, None]).astype(jnp.int32)
+    nearb = (dist2 <= (treach * treach)[:, None])
+    near = nearb.astype(jnp.int32)
+    # per-tile live band [lo, hi): first/last set chunk (empty -> [0, 0))
+    ks = jnp.arange(near.shape[1], dtype=jnp.int32)
+    any_near = jnp.any(nearb, axis=1)
+    lo_t = jnp.min(jnp.where(nearb, ks[None], n_chunks), axis=1)
+    hi_t = jnp.max(jnp.where(nearb, ks[None] + 1, 0), axis=1)
+    lo_t = jnp.where(any_near, lo_t, 0)
+    hi_t = jnp.where(any_near, hi_t, 0)
+    ranges = jnp.stack([lo_t, hi_t], axis=1).reshape(-1)       # (2G,)
     # bit-pack along the chunk axis (32 chunks per i32 word)
     n_words = -(-n_chunks // 32)
     near = jnp.pad(near, [(0, 0), (0, n_words * 32 - n_chunks)])
@@ -176,7 +191,8 @@ def _call_query(pts, r2, cap2, posf, payload, cull, *, n_chunks, chunk,
             bytes_accessed=n_pad * 50 + posf.size * 4,
             transcendentals=n_pad * chunk),
         interpret=interpret,
-    )(near.reshape(-1), pts, r2, cap2, posf, payload)
+    )(jnp.concatenate([near.reshape(-1), ranges]), pts, r2, cap2, posf,
+      payload)
     out = out[:n]
     return QueryResult(flux_r=out[:, 0:3], count_r=out[:, 3],
                        flux_cap=out[:, 4:7], count_cap=out[:, 7])

@@ -94,7 +94,10 @@ def query_grid(grid: PhotonGrid, res: Tuple[int, int, int], points, radius,
     p_total = grid.pos.shape[0]
     _, ci = _cell_ids(points, grid.bmin, grid.inv_cell, res)
     r2 = radius * radius
-    cap2 = cap_radius * cap_radius
+    # cap_radius may be scalar or per-point (the callers tighten it to the
+    # pixel's own radius once initialized)
+    cap2 = jnp.broadcast_to(jnp.asarray(cap_radius, jnp.float32),
+                            (n,)) ** 2
     res_arr = jnp.asarray(res, jnp.int32)
 
     # All 27 neighbor offsets in one fused pass (a python loop over offsets
@@ -125,7 +128,7 @@ def query_grid(grid: PhotonGrid, res: Tuple[int, int, int], points, radius,
     disk = jnp.abs(jnp.sum(pnrm * vec.unit(delta), axis=-1))
     w = (1.0 - disk)[..., None] * ppow                           # (N, 27K, 3)
     in_r = m & (d2 <= r2[:, None])
-    in_cap = m & (d2 <= cap2)
+    in_cap = m & (d2 <= cap2[:, None])
     flux_r = jnp.sum(jnp.where(in_r[..., None], w, 0.0), axis=1)
     cnt_r = jnp.sum(in_r, axis=1).astype(jnp.float32)
     flux_cap = jnp.sum(jnp.where(in_cap[..., None], w, 0.0), axis=1)
@@ -146,12 +149,15 @@ def query_grid_chunked(grid: PhotonGrid, res, points, radius, cap_radius,
 
     pts = pad0(points).reshape(n_pad // chunk, chunk, 3)
     rad = pad0(radius).reshape(n_pad // chunk, chunk)
+    cap = pad0(jnp.broadcast_to(
+        jnp.asarray(cap_radius, jnp.float32), (n,))).reshape(
+        n_pad // chunk, chunk)
 
     def one(args):
-        p, r = args
-        return query_grid(grid, res, p, r, cap_radius, k_per_cell)
+        p, r, c = args
+        return query_grid(grid, res, p, r, c, k_per_cell)
 
-    out = jax.lax.map(one, (pts, rad))
+    out = jax.lax.map(one, (pts, rad, cap))
     return QueryResult(*[x.reshape((n_pad,) + x.shape[2:])[:n] for x in out])
 
 

@@ -96,14 +96,17 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
         # 4. local stat update (state shard never leaves the chip)
         rg = jnp.minimum(jnp.sqrt(jnp.maximum(st.glob.radius2, 0.0)), cap_radius)
         rg = jnp.where(st.glob.photons > 0, rg, cap_radius)
-        qg = sppm_model._query(g_grid, grid_res, pts.p, rg, cap_radius,
+        qg = sppm_model._query(g_grid, grid_res, pts.p, rg,
+                               jnp.where(st.glob.photons > 0, rg, cap_radius),
                                k_per_cell, query_chunk, query_impl)
         glob = sppm_model._update_half(st.glob, pts, qg, k_global, alpha,
                                        cap_radius)
         rc = jnp.minimum(jnp.sqrt(jnp.maximum(st.caustic.radius2, 0.0)),
                          cap_radius)
         rc = jnp.where(st.caustic.photons > 0, rc, cap_radius)
-        qc = sppm_model._query(c_grid, grid_res, pts.p, rc, cap_radius,
+        qc = sppm_model._query(c_grid, grid_res, pts.p, rc,
+                               jnp.where(st.caustic.photons > 0, rc,
+                                         cap_radius),
                                k_per_cell, query_chunk, query_impl)
         caus = sppm_model._update_half(st.caustic, pts, qc, k_caustic, alpha,
                                        cap_radius)
