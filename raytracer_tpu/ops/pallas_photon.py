@@ -46,7 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.ops.photon_grid import QueryResult
 
 TILE = 256      # points per grid step
-CHUNK = 1024    # photons per in-kernel chunk
+CHUNK = 1024    # photons per in-kernel chunk. 256 was measured WORSE (1179
+#                 vs 907 ms/query at 800x800: per-chunk fixed costs x4 beat
+#                 the tighter culling); 1024 balances cull granularity
+#                 against cond/load/matmul overhead.
 SLAB = 384 * 1024  # photons per kernel call (VMEM: ~4.6 MB f32 + 4.6 MB bf16)
 BIG = 3.0e38
 
