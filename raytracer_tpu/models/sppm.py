@@ -196,6 +196,47 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
 
 # ---------------------------------------------------------------- queries
 
+def _soa_eligible(scene: Scene, intersector: str) -> bool:
+    from raytracer_tpu.ops.dispatch import _resolve
+    return (_resolve(scene, intersector) in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0]))
+
+
+def _photon_maps(scene: Scene, k_ph, *, n_photons, max_photon_bounces,
+                 grid_res, photon_t_min, spawn_eps, intersector, query_impl):
+    """Photon pass + both maps. The dense path traces deposits as SoA
+    components and plane-packs them directly (pallas_photon.PhotonPlanes) —
+    the (P,3) deposit arrays never materialize; the grid path keeps the
+    PhotonGrid pytree."""
+    if _soa_eligible(scene, intersector):
+        # SoA photon pass (no (bounces, N, 3) tiled scan stacks), stacked
+        # to (P,3) only at the grid boundary — measured 317+2x165 ms vs the
+        # AoS 434+2x269 ms at 250k photons (plane-packing from components
+        # was tried and measured WORSE: nine flat (P,) sort-gathers lose to
+        # build_grid's three (P,3) row gathers, 673 vs 165 ms)
+        from raytracer_tpu.models.wavefront_soa import (
+            trace_photon_deposits_soa)
+        from raytracer_tpu.ops.dispatch import _resolve
+        comps = trace_photon_deposits_soa(
+            scene, k_ph, n_photons, max_photon_bounces, photon_t_min,
+            spawn_eps, _resolve(scene, intersector))
+        (px, py, pz, wr, wg, wb, nx, ny, nz, valid, caustic) = comps
+        pos = jnp.stack([px, py, pz], -1)
+        power = jnp.stack([wr, wg, wb], -1)
+        norm = jnp.stack([nx, ny, nz], -1)
+    else:
+        pos, power, norm, valid, caustic = trace_photon_deposits(
+            scene, k_ph, n_photons, max_photon_bounces, photon_t_min,
+            spawn_eps, intersector)
+    g = pg.build_grid(pos, power, norm, valid,
+                      scene.bounds_min, scene.bounds_max, grid_res,
+                      compact=True)
+    c = pg.build_grid(pos, power, norm, valid & caustic,
+                      scene.bounds_min, scene.bounds_max, grid_res,
+                      compact=True)
+    return g, c
+
+
 def _query(grid, grid_res, points, radius, cap_radius, k_per_cell,
            query_chunk, impl: str) -> pg.QueryResult:
     """Dual-radius photon query. "dense" = VMEM-resident pallas kernel
@@ -250,23 +291,19 @@ def _update_half(half: SPPMHalf, pts: MeasurePoints, q: pg.QueryResult,
 # -------------------------------------------------------------- iteration
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_photons", "max_photon_bounces", "grid_res", "intersector"))
+    "n_photons", "max_photon_bounces", "grid_res", "intersector",
+    "query_impl"))
 def photon_grids(scene: Scene, key, iteration, *, n_photons,
                  max_photon_bounces, grid_res, photon_t_min, spawn_eps_rel,
-                 intersector="auto"):
-    """Photon pass + both grid builds as ONE device dispatch (fast)."""
+                 intersector="auto", query_impl="dense"):
+    """Photon pass + both photon maps as ONE device dispatch (fast)."""
     spawn_eps = spawn_eps_rel * scene.scale
     k_ph = jax.random.split(jax.random.fold_in(key, iteration))[0]
-    pos, power, norm, valid, caustic = trace_photon_deposits(
-        scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
-        intersector)
-    g_grid = pg.build_grid(pos, power, norm, valid,
-                           scene.bounds_min, scene.bounds_max, grid_res,
-                           compact=True)
-    c_grid = pg.build_grid(pos, power, norm, valid & caustic,
-                           scene.bounds_min, scene.bounds_max, grid_res,
-                           compact=True)
-    return g_grid, c_grid
+    return _photon_maps(
+        scene, k_ph, n_photons=n_photons,
+        max_photon_bounces=max_photon_bounces, grid_res=grid_res,
+        photon_t_min=photon_t_min, spawn_eps=spawn_eps,
+        intersector=intersector, query_impl=query_impl)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -318,7 +355,8 @@ def sppm_iteration_blocked(scene: Scene, state: SPPMState, key, *,
         scene, key, state.iteration, n_photons=kw["n_photons"],
         max_photon_bounces=kw["max_photon_bounces"], grid_res=kw["grid_res"],
         photon_t_min=kw["photon_t_min"], spawn_eps_rel=kw["spawn_eps_rel"],
-        intersector=kw["intersector"])
+        intersector=kw["intersector"],
+        query_impl=kw.get("query_impl", "dense"))
     glob, caus = state.glob, state.caustic
     mu_kw = dict(width=width, height=height,
                  max_camera_bounces=kw["max_camera_bounces"],
@@ -366,20 +404,13 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
     spawn_eps = spawn_eps_rel * scene.scale
     k_ph, k_meas = jax.random.split(jax.random.fold_in(key, state.iteration))
 
-    # 1. photon pass (the reference runs this single-threaded!
-    #    photon_mapper.rs:234-266 — here it is one dense wavefront)
-    pos, power, norm, valid, caustic = trace_photon_deposits(
-        scene, k_ph, n_photons, max_photon_bounces, photon_t_min, spawn_eps,
-        intersector)
-
-    # 2. photon maps (global + caustic; bf16 payloads — queries are
-    #    HBM-bound on candidates)
-    g_grid = pg.build_grid(pos, power, norm, valid,
-                           scene.bounds_min, scene.bounds_max, grid_res,
-                           compact=True)
-    c_grid = pg.build_grid(pos, power, norm, valid & caustic,
-                           scene.bounds_min, scene.bounds_max, grid_res,
-                           compact=True)
+    # 1+2. photon pass + maps (SoA components + plane packing on the
+    #      dense path; PhotonGrid on the grid path)
+    g_grid, c_grid = _photon_maps(
+        scene, k_ph, n_photons=n_photons,
+        max_photon_bounces=max_photon_bounces, grid_res=grid_res,
+        photon_t_min=photon_t_min, spawn_eps=spawn_eps,
+        intersector=intersector, query_impl=query_impl)
 
     # 3. measurement pass
     pixel_ids = jnp.arange(npix, dtype=jnp.int32)

@@ -480,3 +480,78 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
     return (s[8], jnp.stack([s[9], s[10], s[11]], -1),
             jnp.stack([s[12], s[13], s[14]], -1),
             jnp.stack([s[15], s[16], s[17]], -1))
+
+
+def scatter_photon_soa(scene: Scene, key, dx, dy, dz, h: HitSoA, f: FeatSoA):
+    """materials.scatter_photon, component-wise, stream-identical draws
+    (material.rs:27-45 Russian roulette with power renormalization).
+    Returns (ScatterSoA with RR-adjusted interaction, pr, pg, pb power
+    scale factors to apply to surviving photons)."""
+    k_scatter, k_rr = jax.random.split(key)
+    sc = scatter_soa(scene, k_scatter, dx, dy, dz, h, f)
+    hmax = jnp.maximum(sc.ar, jnp.maximum(sc.ag, sc.ab))
+    survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
+    inter = jnp.where(survive, sc.interaction, INTER_ABSORB).astype(jnp.int32)
+    inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
+    pr = jnp.where(survive, sc.ar * inv_h, 1.0)
+    pg = jnp.where(survive, sc.ag * inv_h, 1.0)
+    pb = jnp.where(survive, sc.ab * inv_h, 1.0)
+    return sc._replace(interaction=inter), pr, pg, pb
+
+
+def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
+                              max_bounces: int, t_min: float, spawn_eps,
+                              intersector: str):
+    """SoA twin of models/sppm.py::trace_photon_deposits. Deposits come
+    back as flat (n_photons*max_bounces,) COMPONENT arrays — the AoS
+    version's (bounces, N, 3) scan stacks were (8,128)-tile padded 42x.
+    Returns (px, py, pz, wr, wg, wb, nx, ny, nz, valid, caustic)."""
+    from raytracer_tpu.ops.lights import emit_photons
+    ph = emit_photons(scene.lights, key, n_photons)
+    n = n_photons
+
+    def step(s, _):
+        (ox, oy, oz, dx, dy, dz, wr, wg, wb,
+         alive, has_spec, has_diff, b) = s
+        k = jax.random.fold_in(jax.random.fold_in(key, 13), b)
+        o3 = jnp.stack([ox, oy, oz], -1)
+        d3 = jnp.stack([dx, dy, dz], -1)
+        if intersector == "leaf":
+            t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
+        else:
+            from raytracer_tpu.ops.pallas_intersect import _run as _prun
+            t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf,
+                                     alive=alive)
+        h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
+        sc, pr, pg, pb = scatter_photon_soa(scene, k, dx, dy, dz, h, f)
+
+        live = alive & h.valid
+        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        # deposit carries the power BEFORE this bounce's renormalization
+        # (photon_mapper.rs:248 pushes `power`, then updates it)
+        deposit = (h.px, h.py, h.pz, wr, wg, wb, h.nx, h.ny, h.nz,
+                   diffuse_now, diffuse_now & has_spec & ~has_diff)
+
+        cont = live & (sc.interaction != INTER_ABSORB)
+        specular_now = cont & ~diffuse_now
+        side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
+        ox2 = jnp.where(cont, h.px + h.nx * side, ox)
+        oy2 = jnp.where(cont, h.py + h.ny * side, oy)
+        oz2 = jnp.where(cont, h.pz + h.nz * side, oz)
+        dx2 = jnp.where(cont, sc.dx, dx)
+        dy2 = jnp.where(cont, sc.dy, dy)
+        dz2 = jnp.where(cont, sc.dz, dz)
+        wr2 = jnp.where(cont, wr * pr, wr)
+        wg2 = jnp.where(cont, wg * pg, wg)
+        wb2 = jnp.where(cont, wb * pb, wb)
+        return ((ox2, oy2, oz2, dx2, dy2, dz2, wr2, wg2, wb2, cont,
+                 has_spec | specular_now, has_diff | diffuse_now, b + 1),
+                deposit)
+
+    alive0 = ph.origin[:, 0] == ph.origin[:, 0]
+    init = (ph.origin[:, 0], ph.origin[:, 1], ph.origin[:, 2],
+            ph.dir[:, 0], ph.dir[:, 1], ph.dir[:, 2],
+            ph.power[:, 0], ph.power[:, 1], ph.power[:, 2],
+            alive0, ~alive0, ~alive0, jnp.int32(0))
+    _, dep = jax.lax.scan(step, init, None, length=max_bounces)
+    return tuple(a.reshape(-1) for a in dep)
