@@ -237,6 +237,34 @@ def _photon_maps(scene: Scene, k_ph, *, n_photons, max_photon_bounces,
     return g, c
 
 
+def _sorted_dual_query(g_grid, c_grid, grid_res, pts_p, rg, cap_g, rc,
+                       cap_c, bounds_min, bounds_max, k_per_cell,
+                       query_chunk, impl: str):
+    """Run both map queries with the points CELL-SORTED (one shared sort):
+    image-ordered points put silhouette-boundary pixels in the same kernel
+    tile, whose AABB then reaches most photon chunks — cell order keeps
+    tiles spatially tight. Results are unsorted back. Identical sums."""
+    n = pts_p.shape[0]
+    extent = jnp.maximum(bounds_max - bounds_min, 1e-6)
+    inv_cell = jnp.asarray(grid_res, jnp.float32) / extent
+    ci = jnp.clip(jnp.floor((pts_p - bounds_min) * inv_cell).astype(jnp.int32),
+                  0, jnp.asarray(grid_res, jnp.int32) - 1)
+    cid = (ci[:, 0] * grid_res[1] + ci[:, 1]) * grid_res[2] + ci[:, 2]
+    order = jnp.argsort(cid)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    p_s = pts_p[order]
+
+    def unsort(q):
+        return pg.QueryResult(*(jnp.take(x, inv, axis=0) for x in q))
+
+    qg = _query(g_grid, grid_res, p_s, rg[order], cap_g[order], k_per_cell,
+                query_chunk, impl)
+    qc = _query(c_grid, grid_res, p_s, rc[order], cap_c[order], k_per_cell,
+                query_chunk, impl)
+    return unsort(qg), unsort(qc)
+
+
 def _query(grid, grid_res, points, radius, cap_radius, k_per_cell,
            query_chunk, impl: str) -> pg.QueryResult:
     """Dual-radius photon query. "dense" = VMEM-resident pallas kernel
@@ -332,14 +360,14 @@ def measure_update_block(scene: Scene, glob: SPPMHalf, caus: SPPMHalf,
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(glob.photons > 0, rg, cap_radius)
     cap_g = jnp.where(glob.photons > 0, rg, cap_radius)
-    qg = _query(g_grid, grid_res, pts.p, rg, cap_g, k_per_cell,
-                query_chunk, query_impl)
-    glob = _update_half(glob, pts, qg, k_global, alpha, cap_radius)
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(caus.radius2, 0.0)), cap_radius)
     rc = jnp.where(caus.photons > 0, rc, cap_radius)
     cap_c = jnp.where(caus.photons > 0, rc, cap_radius)
-    qc = _query(c_grid, grid_res, pts.p, rc, cap_c, k_per_cell,
-                query_chunk, query_impl)
+    qg, qc = _sorted_dual_query(
+        g_grid, c_grid, grid_res, pts.p, rg, cap_g, rc, cap_c,
+        scene.bounds_min, scene.bounds_max, k_per_cell, query_chunk,
+        query_impl)
+    glob = _update_half(glob, pts, qg, k_global, alpha, cap_radius)
     caus = _update_half(caus, pts, qc, k_caustic, alpha, cap_radius)
     return glob, caus
 
@@ -424,16 +452,15 @@ def sppm_iteration(scene: Scene, state: SPPMState, key, *, width, height,
     # first-touch init; tightens the query's chunk cull every iteration)
     rg = jnp.minimum(jnp.sqrt(jnp.maximum(state.glob.radius2, 0.0)), cap_radius)
     rg = jnp.where(state.glob.photons > 0, rg, cap_radius)
-    qg = _query(g_grid, grid_res, pts.p, rg,
-                jnp.where(state.glob.photons > 0, rg, cap_radius),
-                k_per_cell, query_chunk, query_impl)
-    glob = _update_half(state.glob, pts, qg, k_global, alpha, cap_radius)
-
     rc = jnp.minimum(jnp.sqrt(jnp.maximum(state.caustic.radius2, 0.0)), cap_radius)
     rc = jnp.where(state.caustic.photons > 0, rc, cap_radius)
-    qc = _query(c_grid, grid_res, pts.p, rc,
-                jnp.where(state.caustic.photons > 0, rc, cap_radius),
-                k_per_cell, query_chunk, query_impl)
+    qg, qc = _sorted_dual_query(
+        g_grid, c_grid, grid_res, pts.p, rg,
+        jnp.where(state.glob.photons > 0, rg, cap_radius), rc,
+        jnp.where(state.caustic.photons > 0, rc, cap_radius),
+        scene.bounds_min, scene.bounds_max, k_per_cell, query_chunk,
+        query_impl)
+    glob = _update_half(state.glob, pts, qg, k_global, alpha, cap_radius)
     caus = _update_half(state.caustic, pts, qc, k_caustic, alpha,
                         cap_radius)
 
