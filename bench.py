@@ -89,6 +89,48 @@ def main():
     jax.block_until_ready(st.glob.flux)
     dt_sppm = time.time() - t0
 
+    # on-TPU numeric smoke test (VERDICT r2 #5): render the two golden
+    # scenes at 32x32 on the REAL chip and assert the same gamma-space
+    # MC bands as tests/test_golden.py — catches bf16-rounding/precision
+    # regressions that are invisible in CPU/interpret test runs.
+    def _golden_ok():
+        import os
+        import numpy as np
+        from raytracer_tpu.models import sppm as sppm_model
+        from raytracer_tpu.scene.builtin import three_spheres
+        from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+        failures = []
+
+        def check(name, img):
+            ref = np.load(os.path.join("tests", "golden", name))["img"]
+            a = np.sqrt(np.clip(np.asarray(img), 0, None))
+            b = np.sqrt(np.clip(ref, 0, None))
+            diff = np.abs(a - b)
+            if not (abs(a.mean() - b.mean()) < 0.05 * max(b.mean(), 1e-6)
+                    and np.percentile(diff, 95) < 0.30
+                    and diff.mean() < 0.08):
+                failures.append(
+                    f"{name}: mean {a.mean():.4f} vs {b.mean():.4f}, "
+                    f"p95 {np.percentile(diff, 95):.3f}")
+
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=64,
+                           spp_chunk=8, max_depth=12)
+        img, _ = pt.render(three_spheres(1.0), cfg, jax.random.PRNGKey(7))
+        check("three_spheres_32.npz", img)
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=32,
+                           spp_chunk=8, max_depth=12,
+                           sppm=SPPMConfig(n_iterations=4,
+                                           photons_per_iter=20000,
+                                           max_photon_bounces=8,
+                                           max_camera_bounces=12,
+                                           max_photons_per_cell=64))
+        img, _, _ = sppm_model.render(cornell_box(with_mesh=True), cfg,
+                                      jax.random.PRNGKey(7))
+        check("cornell_sppm_32.npz", img)
+        return failures
+
+    golden_failures = _golden_ok()
+
     result = {
         "metric": "Mrays/s/chip scene_500 800x600 (wavefront PT, depth<=16)",
         "value": round(mrays, 2),
@@ -104,6 +146,8 @@ def main():
         "depth50_mrays": round(rays50 / dt50 / 1e6, 2),
         "depth50_extrapolated_s_to_1000spp": round(dt50 * (1000 / spp_timed), 1),
         "sppm_iter_s_400x400_250k": round(dt_sppm, 2),
+        "numeric_ok": not golden_failures,
+        "numeric_failures": golden_failures,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

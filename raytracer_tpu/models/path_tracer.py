@@ -188,6 +188,24 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
         jnp.arange(npix, dtype=jnp.int32)[None, :], (spp_chunk, npix)).reshape(-1)
     spawn_eps = spawn_eps_rel * scene.scale
 
+    # Path-regeneration fast path: one while_loop where retired lanes spawn
+    # their pixel's next sample instead of idling (wavefront_soa.
+    # render_regen_soa) — replaces the fori_loop of fixed-depth wavefronts
+    # whose occupancy decayed ~2.2x by depth 16.
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and not scene.spheres.motion_marker.shape[0]
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import render_regen_soa
+        accum, rays, _steps = render_regen_soa(
+            scene, key, width=width, height=height,
+            lanes_per_pixel=spp_chunk, samples_per_lane=n_chunks,
+            max_depth=max_depth, t_min=t_min, spawn_eps=spawn_eps,
+            intersector=method, russian_roulette=russian_roulette, nee=nee)
+        img = accum / (n_chunks * spp_chunk)
+        return img.reshape(height, width, 3), rays
+
     def chunk(i, carry):
         accum, rays = carry
         k_cam = jax.random.fold_in(jax.random.fold_in(key, 7), i)
@@ -230,6 +248,8 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
     accum = None
     rays_total = 0
     i = 0
+    from raytracer_tpu.utils.timing import Progress
+    prog = Progress(total=total, label="pt spp")
     while done < total:
         spp = min(batch, total - done)
         img, rays = render_fn(
@@ -245,4 +265,5 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
         rays_total += int(rays)
         done += spp
         i += 1
+        prog.tick(spp, rays=int(rays))
     return accum, rays_total

@@ -557,6 +557,22 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
         jnp.arange(npix, dtype=jnp.int32)[None], (spp_chunk, npix)).reshape(-1)
     est_rep = jnp.broadcast_to(est[None], (spp_chunk, npix, 3)).reshape(-1, 3)
 
+    # Path-regeneration fast path (see wavefront_soa.gather_regen_soa):
+    # the depth-50 specular walk retires most lanes after a few bounces;
+    # regeneration refills them with the pixel's next sample.
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import gather_regen_soa
+        accum, rays, _steps = gather_regen_soa(
+            scene, est, key, width=width, height=height,
+            lanes_per_pixel=spp_chunk, samples_per_lane=n_chunks,
+            max_depth=max_depth, t_min=t_min, spawn_eps=spawn_eps,
+            intersector=method)
+        img = accum / (n_chunks * spp_chunk)
+        return img.reshape(height, width, 3), rays
+
     def chunk(i, carry):
         accum, rays = carry
         k_cam = jax.random.fold_in(jax.random.fold_in(key, 17), i)
@@ -605,6 +621,10 @@ def render(scene: Scene, config: RenderConfig, key,
         intersector=config.intersector, query_impl=sp.query_impl)
     blocked = npix > sp.pixel_block
     start = int(state.iteration)
+    from raytracer_tpu.utils.timing import Progress
+    prog = Progress(total=sp.n_iterations, label="sppm iter")
+    if start:
+        prog.tick(start)  # resumed from a checkpoint
     for _ in range(start, sp.n_iterations):
         if blocked:
             state = sppm_iteration_blocked(scene, state, key,
@@ -613,6 +633,8 @@ def render(scene: Scene, config: RenderConfig, key,
             state = sppm_iteration(scene, state, key, **kw)
         if checkpoint_cb is not None:
             checkpoint_cb(state)
+        jax.block_until_ready(state.glob.flux)
+        prog.tick(1)
 
     # final gather, host-batched like path_tracer.render (long single
     # dispatches can trip the device/tunnel). The depth-50 specular walk is
@@ -627,6 +649,7 @@ def render(scene: Scene, config: RenderConfig, key,
     # 1.47 s/spp at 800x800 for 1.28M vs 2.56M lanes — ROUND_NOTES round 2)
     chunk_budget = max(1, 1_500_000 // npix)
     done, i, rays_total, accum = 0, 0, 0, None
+    prog = Progress(total=total, label="gather spp")
     while done < total:
         spp = min(batch, total - done)
         img, rays = gather_fn(
@@ -641,4 +664,5 @@ def render(scene: Scene, config: RenderConfig, key,
         rays_total += int(rays)
         done += spp
         i += 1
+        prog.tick(spp, rays=int(rays))
     return accum, rays_total, state

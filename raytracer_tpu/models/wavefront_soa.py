@@ -267,6 +267,104 @@ def scatter_soa(scene: Scene, key, dx, dy, dz, h: HitSoA,
 RR_START_BOUNCE = 3
 
 
+def scatter_uniforms(key, n: int):
+    """The five uniforms scatter_soa draws, with its EXACT threefry splits
+    (k_diff/k_metal/k_diel out of split(key, 4), sub-splits inside
+    _uniform_sphere) — feeding these into the fused bounce kernel makes it
+    stream-identical to the unfused path. (N, 5)."""
+    k_diff, k_metal, k_diel, _k_iso = jax.random.split(key, 4)
+    kd1, kd2 = jax.random.split(k_diff)
+    km1, km2 = jax.random.split(k_metal)
+    return jnp.stack([
+        jax.random.uniform(kd1, (n,)), jax.random.uniform(kd2, (n,)),
+        jax.random.uniform(km1, (n,)), jax.random.uniform(km2, (n,)),
+        jax.random.uniform(k_diel, (n,))], axis=1)
+
+
+class Bounce(NamedTuple):
+    """One bounce's full outcome as (N,) components: interaction code,
+    attenuation, emission, candidate next ray (spawn-offset origin +
+    scattered direction), hit point and shading normal. Emission/interaction
+    are already miss-masked (invalid -> ABSORB, er=0), so loop bodies only
+    combine with ``alive``."""
+    inter: jnp.ndarray
+    ar: jnp.ndarray
+    ag: jnp.ndarray
+    ab: jnp.ndarray
+    er: jnp.ndarray
+    eg: jnp.ndarray
+    eb: jnp.ndarray
+    nox: jnp.ndarray
+    noy: jnp.ndarray
+    noz: jnp.ndarray
+    ndx: jnp.ndarray
+    ndy: jnp.ndarray
+    ndz: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+
+
+def use_fused(scene: Scene, intersector: str) -> bool:
+    """Static choice of the fused bounce megakernel.
+
+    MEASURED AND REJECTED as the default (round 3): the megakernel is
+    stream-identical to the unfused path (test_wavefront_soa pins it), but
+    its per-ray epilogue runs ~200 ops on (TILE,1) COLUMN vectors — 1/128
+    VPU lane utilization — costing ~+31 ms/step at 960k lanes versus the
+    ~14 ms XLA attrs+scatter stage it replaces (scene_500 32spp RR: 3.67 ->
+    5.43 s). A (1,TILE)-row epilogue would be ~1/8 utilization, roughly
+    break-even. Opt in with RAYTRACER_TPU_FUSED_BOUNCE=1."""
+    import os
+    if os.environ.get("RAYTRACER_TPU_FUSED_BOUNCE") != "1":
+        return False
+    from raytracer_tpu.ops.pallas_intersect import bounce_fused_eligible
+    return intersector == "pallas" and bounce_fused_eligible(scene)
+
+
+def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
+                t_min: float, spawn_eps, intersector: str,
+                fused: bool) -> Bounce:
+    """Advance one bounce: intersect + attrs + texture + scatter. The fused
+    path runs everything inside one pallas call (ops/pallas_intersect.
+    _bounce_kernel); the unfused path is the original attrs_soa +
+    scatter_soa XLA stage. Both produce stream-identical results (the fused
+    kernel receives scatter_uniforms(k) drawn with scatter_soa's splits)."""
+    n = ox.shape[0]
+    o3 = jnp.stack([ox, oy, oz], -1)
+    d3 = jnp.stack([dx, dy, dz], -1)
+    if fused:
+        from raytracer_tpu.ops.pallas_intersect import bounce_fused
+        eps = jnp.broadcast_to(
+            jnp.asarray(spawn_eps, jnp.float32), (n,))[:, None]
+        uni = jnp.concatenate([scatter_uniforms(k, n), eps], axis=1)
+        inter, no3, nd3, att, emit, p3, n3 = bounce_fused(
+            scene, o3, d3, t_min, alive, uni)
+        return Bounce(inter,
+                      att[:, 0], att[:, 1], att[:, 2],
+                      emit[:, 0], emit[:, 1], emit[:, 2],
+                      no3[:, 0], no3[:, 1], no3[:, 2],
+                      nd3[:, 0], nd3[:, 1], nd3[:, 2],
+                      p3[:, 0], p3[:, 1], p3[:, 2],
+                      n3[:, 0], n3[:, 1], n3[:, 2])
+    if intersector == "leaf":
+        t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
+    else:
+        from raytracer_tpu.ops.pallas_intersect import _run as _prun
+        t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf, alive=alive)
+    h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
+    sc = scatter_soa(scene, k, dx, dy, dz, h, f)
+    side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
+    return Bounce(sc.interaction,
+                  sc.ar, sc.ag, sc.ab, sc.er, sc.eg, sc.eb,
+                  h.px + h.nx * side, h.py + h.ny * side, h.pz + h.nz * side,
+                  sc.dx, sc.dy, sc.dz,
+                  h.px, h.py, h.pz, h.nx, h.ny, h.nz)
+
+
 def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
                        t_min: float, spawn_eps, intersector: str,
                        russian_roulette: bool = True, nee: bool = False):
@@ -280,39 +378,31 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
     ROUND_NOTES round 2). Dead lanes stay in place; the kernels' alive
     masking carries the savings instead."""
     n = o.shape[0]
+    fused = use_fused(scene, intersector)
 
     def cond(s):
         return (s[0] < max_depth) & jnp.any(s[14])
 
     def body(s):
-        (b, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb,
          rr_, rg_, rb_, prev_diff, alive, rays) = s
-        k = jax.random.fold_in(key, b)
-        o3 = jnp.stack([ox, oy, oz], -1)
-        d3 = jnp.stack([dx, dy, dz], -1)
-        # one kernel call; everything downstream re-derives as components
-        # from the winner data (no (N,3) attrs materialize)
-        if intersector == "leaf":
-            t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
-        else:
-            from raytracer_tpu.ops.pallas_intersect import _run as _prun
-            t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf,
-                                     alive=alive)
-        h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
-        sc = scatter_soa(scene, k, dx, dy, dz, h, f)
+        k = jax.random.fold_in(key, step)
+        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
 
-        live = alive & h.valid
-        emit_ok = live & ~prev_diff
-        rr_ = rr_ + jnp.where(emit_ok, tr * sc.er, 0.0)
-        rg_ = rg_ + jnp.where(emit_ok, tg * sc.eg, 0.0)
-        rb_ = rb_ + jnp.where(emit_ok, tb * sc.eb, 0.0)
+        # b.er/inter are miss-masked, so `alive` alone gates accumulation
+        emit_ok = alive & ~prev_diff
+        rr_ = rr_ + jnp.where(emit_ok, tr * b.er, 0.0)
+        rg_ = rg_ + jnp.where(emit_ok, tg * b.eg, 0.0)
+        rb_ = rb_ + jnp.where(emit_ok, tb * b.eb, 0.0)
 
-        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
         if nee:
             from raytracer_tpu.ops.nee import direct_light
-            p3 = jnp.stack([h.px, h.py, h.pz], -1)
-            n3 = jnp.stack([h.nx, h.ny, h.nz], -1)
-            a3 = jnp.stack([sc.ar, sc.ag, sc.ab], -1)
+            p3 = jnp.stack([b.px, b.py, b.pz], -1)
+            n3 = jnp.stack([b.nx, b.ny, b.nz], -1)
+            a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
             dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3, a3,
                               diffuse_now, intersector=intersector,
                               alive=alive)
@@ -320,28 +410,27 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
             rg_ = rg_ + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
             rb_ = rb_ + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
 
-        cont = live & (sc.interaction != INTER_ABSORB)
-        tr2 = jnp.where(cont, tr * sc.ar, tr)
-        tg2 = jnp.where(cont, tg * sc.ag, tg)
-        tb2 = jnp.where(cont, tb * sc.ab, tb)
+        cont = alive & (b.inter != INTER_ABSORB)
+        tr2 = jnp.where(cont, tr * b.ar, tr)
+        tg2 = jnp.where(cont, tg * b.ag, tg)
+        tb2 = jnp.where(cont, tb * b.ab, tb)
         if russian_roulette:
             p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
                               0.05, 1.0)
-            do_rr = b >= RR_START_BOUNCE
+            do_rr = step >= RR_START_BOUNCE
             u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
             survive = ~do_rr | (u < p_surv)
             scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
             tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
             cont = cont & survive
-        side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
-        ox2 = jnp.where(cont, h.px + h.nx * side, ox)
-        oy2 = jnp.where(cont, h.py + h.ny * side, oy)
-        oz2 = jnp.where(cont, h.pz + h.nz * side, oz)
-        dx2 = jnp.where(cont, sc.dx, dx)
-        dy2 = jnp.where(cont, sc.dy, dy)
-        dz2 = jnp.where(cont, sc.dz, dz)
+        ox2 = jnp.where(cont, b.nox, ox)
+        oy2 = jnp.where(cont, b.noy, oy)
+        oz2 = jnp.where(cont, b.noz, oz)
+        dx2 = jnp.where(cont, b.ndx, dx)
+        dy2 = jnp.where(cont, b.ndy, dy)
+        dz2 = jnp.where(cont, b.ndz, dz)
         prev2 = diffuse_now if nee else prev_diff
-        return (b + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
                 rr_, rg_, rb_, prev2, cont, rays + jnp.sum(alive))
 
     one = jnp.ones_like(o[:, 0])
@@ -360,6 +449,249 @@ def _leaf_run(scene, o3, d3, t_min, alive):
     return pallas_bvh._run(scene, o3, d3, t_min, jnp.inf, alive)
 
 
+def camera_rays_soa(cam, key, px, py, width: int, height: int):
+    """Component-wise models/camera.py::camera_rays (camera.rs:57-64 +
+    the jitter/y-flip of camera.rs:97-99): same draws, no (N,3) stacks.
+    ``px, py`` are (N,) f32 pixel coordinates. Returns 6 (N,) components."""
+    k_jx, k_jy, k_lens = jax.random.split(key, 3)
+    n = px.shape[0]
+    u = (px + jax.random.uniform(k_jx, (n,))) / (width - 1)
+    v = (py + jax.random.uniform(k_jy, (n,))) / (height - 1)
+    t = 1.0 - v  # y axis is reverted (camera.rs:99)
+    k1, k2 = jax.random.split(k_lens)
+    r = jnp.sqrt(jax.random.uniform(k1, (n,))) * cam.lens_radius
+    phi = TWO_PI * jax.random.uniform(k2, (n,))
+    rdx = r * jnp.cos(phi)
+    rdy = r * jnp.sin(phi)
+    ox = cam.origin[0] + cam.u[0] * rdx + cam.v[0] * rdy
+    oy = cam.origin[1] + cam.u[1] * rdx + cam.v[1] * rdy
+    oz = cam.origin[2] + cam.u[2] * rdx + cam.v[2] * rdy
+    dx = (cam.lower_left_corner[0] + u * cam.horizontal[0]
+          + t * cam.vertical[0] - ox)
+    dy = (cam.lower_left_corner[1] + u * cam.horizontal[1]
+          + t * cam.vertical[1] - oy)
+    dz = (cam.lower_left_corner[2] + u * cam.horizontal[2]
+          + t * cam.vertical[2] - oz)
+    return ox, oy, oz, dx, dy, dz
+
+
+def render_regen_soa(scene: Scene, key, *, width: int, height: int,
+                     lanes_per_pixel: int, samples_per_lane: int,
+                     max_depth: int, t_min: float, spawn_eps,
+                     intersector: str, russian_roulette: bool = True,
+                     nee: bool = False):
+    """Path-REGENERATION wavefront renderer: when a lane's sample retires
+    (miss, absorb, RR kill, or depth cap) the lane immediately spawns its
+    pixel's NEXT sample — a fresh camera ray, throughput 1, depth 0 — with
+    no permutation or scatter (the `where` on the retire mask is the whole
+    mechanism). Lane l serves pixel l % npix for ``samples_per_lane``
+    sequential samples, so per-pixel spp = lanes_per_pixel *
+    samples_per_lane and the final accumulation is a plain reshape-sum.
+
+    This replaces render_fn's fori_loop of fixed-depth wavefronts, whose
+    occupancy decayed ~2.2x by depth 16 (and far worse at the reference's
+    depth-50 cap, photon_mapper.rs:334) — dead lanes now do the next
+    sample's work instead of idling. Estimator semantics are IDENTICAL to
+    trace_radiance_soa per sample (emit at every hit, RR after bounce 3,
+    per-sample depth cap; camera.rs:91-101's per-pixel independent samples
+    are exactly what regeneration preserves); only the (deterministic)
+    threefry stream assignment differs, as each regenerated sample draws
+    from the step-indexed keys of the steps it happens to occupy.
+
+    Returns ((npix, 3) radiance SUM over all samples, rays traced,
+    loop steps executed)."""
+    npix = width * height
+    n = npix * lanes_per_pixel
+    fused = use_fused(scene, intersector)
+    pix = jnp.arange(n, dtype=jnp.int32) % npix
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    quota = jnp.int32(samples_per_lane)
+
+    def cond(s):
+        return jnp.any(s[16])
+
+    def body(s):
+        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
+         ar, ag, ab, alive, depth, done, prev_diff, rays) = s
+        k = jax.random.fold_in(key, step)
+        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+
+        emit_ok = alive & ~prev_diff
+        sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)
+        sg = sg + jnp.where(emit_ok, tg * b.eg, 0.0)
+        sb = sb + jnp.where(emit_ok, tb * b.eb, 0.0)
+
+        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+        if nee:
+            from raytracer_tpu.ops.nee import direct_light
+            p3 = jnp.stack([b.px, b.py, b.pz], -1)
+            n3 = jnp.stack([b.nx, b.ny, b.nz], -1)
+            a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
+            dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3, a3,
+                              diffuse_now, intersector=intersector,
+                              alive=alive)
+            sr = sr + jnp.where(diffuse_now, tr * dl[:, 0], 0.0)
+            sg = sg + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
+            sb = sb + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
+
+        cont = alive & (b.inter != INTER_ABSORB)
+        tr2 = jnp.where(cont, tr * b.ar, tr)
+        tg2 = jnp.where(cont, tg * b.ag, tg)
+        tb2 = jnp.where(cont, tb * b.ab, tb)
+        if russian_roulette:
+            p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
+                              0.05, 1.0)
+            do_rr = depth >= RR_START_BOUNCE  # per-lane sample depth
+            u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
+            survive = ~do_rr | (u < p_surv)
+            scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
+            tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
+            cont = cont & survive
+        depth2 = depth + 1
+        cont = cont & (depth2 < max_depth)
+
+        retire = alive & ~cont
+        ar = ar + jnp.where(retire, sr, 0.0)
+        ag = ag + jnp.where(retire, sg, 0.0)
+        ab = ab + jnp.where(retire, sb, 0.0)
+        done2 = done + retire.astype(jnp.int32)
+        regen = retire & (done2 < quota)
+
+        cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
+            scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7),
+                                             step + 1),
+            px, py, width, height)
+        ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
+        oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
+        oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
+        dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
+        dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
+        dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
+        tr3 = jnp.where(regen, 1.0, tr2)
+        tg3 = jnp.where(regen, 1.0, tg2)
+        tb3 = jnp.where(regen, 1.0, tb2)
+        sr2 = jnp.where(regen, 0.0, sr)
+        sg2 = jnp.where(regen, 0.0, sg)
+        sb2 = jnp.where(regen, 0.0, sb)
+        depth3 = jnp.where(regen, 0, depth2)
+        prev2 = (diffuse_now if nee else prev_diff) & ~regen
+        alive2 = (alive & cont) | regen
+        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
+                sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
+                rays + jnp.sum(alive))
+
+    ox0, oy0, oz0, dx0, dy0, dz0 = camera_rays_soa(
+        scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7), 0),
+        px, py, width, height)
+    one = jnp.ones_like(ox0)
+    zero = jnp.zeros_like(one)
+    alive0 = ox0 == ox0
+    izero = jnp.zeros_like(pix)
+    init = (jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+            one, one * 1.0, one * 1.0, zero, zero * 1.0, zero * 1.0,
+            zero * 1.0, zero * 1.0, zero * 1.0, alive0, izero,
+            izero * 1, ~alive0, jnp.sum(izero))
+    s = jax.lax.while_loop(cond, body, init)
+    accum = jnp.stack([s[13], s[14], s[15]], -1)
+    accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+    return accum, s[20], s[0]
+
+
+def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
+                     lanes_per_pixel: int, samples_per_lane: int,
+                     max_depth: int, t_min: float, spawn_eps,
+                     intersector: str):
+    """Path-regeneration twin of gather_walk_soa for the SPPM final gather
+    (sample_ray, photon_mapper.rs:326-365 with the depth-50 cap): Le at
+    every hit, the pixel's density estimate at the first Diffuse hit,
+    specular chains multiply throughput. The depth-50 specular walk retires
+    most lanes within a few bounces, so regeneration converts the ~idle
+    tail into fresh samples. ``est`` is (npix, 3); lane l serves pixel
+    l % npix. Returns ((npix, 3) radiance SUM, rays, steps)."""
+    npix = width * height
+    n = npix * lanes_per_pixel
+    fused = use_fused(scene, intersector)
+    pix = jnp.arange(n, dtype=jnp.int32) % npix
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    er_ = est[:, 0][pix]
+    eg_ = est[:, 1][pix]
+    eb_ = est[:, 2][pix]
+    quota = jnp.int32(samples_per_lane)
+
+    def cond(s):
+        return jnp.any(s[16])
+
+    def body(s):
+        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
+         ar, ag, ab, alive, depth, done, rays) = s
+        k = jax.random.fold_in(key, step)
+        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+        sr = sr + jnp.where(alive, tr * b.er, 0.0)
+        sg = sg + jnp.where(alive, tg * b.eg, 0.0)
+        sb = sb + jnp.where(alive, tb * b.eb, 0.0)
+        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+        sr = sr + jnp.where(diffuse_now, tr * er_, 0.0)
+        sg = sg + jnp.where(diffuse_now, tg * eg_, 0.0)
+        sb = sb + jnp.where(diffuse_now, tb * eb_, 0.0)
+        cont = alive & ~diffuse_now & (b.inter != INTER_ABSORB)
+        tr2 = jnp.where(cont, tr * b.ar, tr)
+        tg2 = jnp.where(cont, tg * b.ag, tg)
+        tb2 = jnp.where(cont, tb * b.ab, tb)
+        depth2 = depth + 1
+        cont = cont & (depth2 < max_depth)
+
+        retire = alive & ~cont
+        ar = ar + jnp.where(retire, sr, 0.0)
+        ag = ag + jnp.where(retire, sg, 0.0)
+        ab = ab + jnp.where(retire, sb, 0.0)
+        done2 = done + retire.astype(jnp.int32)
+        regen = retire & (done2 < quota)
+
+        cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
+            scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17),
+                                             step + 1),
+            px, py, width, height)
+        ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
+        oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
+        oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
+        dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
+        dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
+        dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
+        tr3 = jnp.where(regen, 1.0, tr2)
+        tg3 = jnp.where(regen, 1.0, tg2)
+        tb3 = jnp.where(regen, 1.0, tb2)
+        sr2 = jnp.where(regen, 0.0, sr)
+        sg2 = jnp.where(regen, 0.0, sg)
+        sb2 = jnp.where(regen, 0.0, sb)
+        depth3 = jnp.where(regen, 0, depth2)
+        alive2 = (alive & cont) | regen
+        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
+                sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2,
+                rays + jnp.sum(alive))
+
+    ox0, oy0, oz0, dx0, dy0, dz0 = camera_rays_soa(
+        scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17), 0),
+        px, py, width, height)
+    one = jnp.ones_like(ox0)
+    zero = jnp.zeros_like(one)
+    alive0 = ox0 == ox0
+    izero = jnp.zeros_like(pix)
+    init = (jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+            one, one * 1.0, one * 1.0, zero, zero * 1.0, zero * 1.0,
+            zero * 1.0, zero * 1.0, zero * 1.0, alive0, izero,
+            izero * 1, jnp.sum(izero))
+    s = jax.lax.while_loop(cond, body, init)
+    accum = jnp.stack([s[13], s[14], s[15]], -1)
+    accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+    return accum, s[19], s[0]
+
+
 def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,
                     t_min: float, spawn_eps, intersector: str):
     """SoA twin of models/sppm.py::gather_walk (sample_ray,
@@ -367,45 +699,38 @@ def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,
     at the first Diffuse hit, specular chains multiply throughput. ``est``
     is (N, 3). Returns (radiance (N,3), rays ())."""
     n = o.shape[0]
+    del n
+    fused = use_fused(scene, intersector)
     er_, eg_, eb_ = est[:, 0], est[:, 1], est[:, 2]
 
     def cond(s):
         return (s[0] < max_depth) & jnp.any(s[13])
 
     def body(s):
-        (b, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_,
+        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_,
          alive, rays) = s
-        k = jax.random.fold_in(k_walk, b)
-        o3 = jnp.stack([ox, oy, oz], -1)
-        d3 = jnp.stack([dx, dy, dz], -1)
-        if intersector == "leaf":
-            t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
-        else:
-            from raytracer_tpu.ops.pallas_intersect import _run as _prun
-            t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf,
-                                     alive=alive)
-        h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
-        sc = scatter_soa(scene, k, dx, dy, dz, h, f)
-        live = alive & h.valid
-        rr_ = rr_ + jnp.where(live, tr * sc.er, 0.0)
-        rg_ = rg_ + jnp.where(live, tg * sc.eg, 0.0)
-        rb_ = rb_ + jnp.where(live, tb * sc.eb, 0.0)
-        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        k = jax.random.fold_in(k_walk, step)
+        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+        rr_ = rr_ + jnp.where(alive, tr * b.er, 0.0)
+        rg_ = rg_ + jnp.where(alive, tg * b.eg, 0.0)
+        rb_ = rb_ + jnp.where(alive, tb * b.eb, 0.0)
+        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
         rr_ = rr_ + jnp.where(diffuse_now, tr * er_, 0.0)
         rg_ = rg_ + jnp.where(diffuse_now, tg * eg_, 0.0)
         rb_ = rb_ + jnp.where(diffuse_now, tb * eb_, 0.0)
-        cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
-        tr2 = jnp.where(cont, tr * sc.ar, tr)
-        tg2 = jnp.where(cont, tg * sc.ag, tg)
-        tb2 = jnp.where(cont, tb * sc.ab, tb)
-        side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
-        ox2 = jnp.where(cont, h.px + h.nx * side, ox)
-        oy2 = jnp.where(cont, h.py + h.ny * side, oy)
-        oz2 = jnp.where(cont, h.pz + h.nz * side, oz)
-        dx2 = jnp.where(cont, sc.dx, dx)
-        dy2 = jnp.where(cont, sc.dy, dy)
-        dz2 = jnp.where(cont, sc.dz, dz)
-        return (b + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+        cont = alive & ~diffuse_now & (b.inter != INTER_ABSORB)
+        tr2 = jnp.where(cont, tr * b.ar, tr)
+        tg2 = jnp.where(cont, tg * b.ag, tg)
+        tb2 = jnp.where(cont, tb * b.ab, tb)
+        ox2 = jnp.where(cont, b.nox, ox)
+        oy2 = jnp.where(cont, b.noy, oy)
+        oz2 = jnp.where(cont, b.noz, oz)
+        dx2 = jnp.where(cont, b.ndx, dx)
+        dy2 = jnp.where(cont, b.ndy, dy)
+        dz2 = jnp.where(cont, b.ndz, dz)
+        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
                 rr_, rg_, rb_, cont, rays + jnp.sum(alive))
 
     one = jnp.ones_like(o[:, 0])
@@ -424,49 +749,39 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
     """SoA twin of models/sppm.py::measurement_pass (update_sppm's specular
     walk to the first Diffuse hit, photon_mapper.rs:277-300). Returns
     (valid (N,), p (N,3), normal (N,3), bsdf (N,3))."""
-    n = o.shape[0]
+    fused = use_fused(scene, intersector)
 
     def cond(s):
         return (s[0] < max_depth) & jnp.any(s[7])
 
     def body(s):
-        (b, ox, oy, oz, dx, dy, dz, alive,
+        (step, ox, oy, oz, dx, dy, dz, alive,
          ov, opx, opy, opz, onx, ony, onz, obr, obg, obb) = s
-        k = jax.random.fold_in(k_walk, b)
-        o3 = jnp.stack([ox, oy, oz], -1)
-        d3 = jnp.stack([dx, dy, dz], -1)
-        if intersector == "leaf":
-            t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
-        else:
-            from raytracer_tpu.ops.pallas_intersect import _run as _prun
-            t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf,
-                                     alive=alive)
-        h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
-        sc = scatter_soa(scene, k, dx, dy, dz, h, f)
-        live = alive & h.valid
-        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        k = jax.random.fold_in(k_walk, step)
+        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
         # bsdf color = albedo, 1/pi for diffuse lights (material.rs bsdf) —
         # exactly scatter's attenuation; no second texture evaluation
-        br, bg, bb = sc.ar, sc.ag, sc.ab
         ov2 = ov | diffuse_now
-        opx2 = jnp.where(diffuse_now, h.px, opx)
-        opy2 = jnp.where(diffuse_now, h.py, opy)
-        opz2 = jnp.where(diffuse_now, h.pz, opz)
-        onx2 = jnp.where(diffuse_now, h.nx, onx)
-        ony2 = jnp.where(diffuse_now, h.ny, ony)
-        onz2 = jnp.where(diffuse_now, h.nz, onz)
-        obr2 = jnp.where(diffuse_now, br, obr)
-        obg2 = jnp.where(diffuse_now, bg, obg)
-        obb2 = jnp.where(diffuse_now, bb, obb)
-        cont = live & ~diffuse_now & (sc.interaction != INTER_ABSORB)
-        side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
-        ox2 = jnp.where(cont, h.px + h.nx * side, ox)
-        oy2 = jnp.where(cont, h.py + h.ny * side, oy)
-        oz2 = jnp.where(cont, h.pz + h.nz * side, oz)
-        dx2 = jnp.where(cont, sc.dx, dx)
-        dy2 = jnp.where(cont, sc.dy, dy)
-        dz2 = jnp.where(cont, sc.dz, dz)
-        return (b + 1, ox2, oy2, oz2, dx2, dy2, dz2, cont,
+        opx2 = jnp.where(diffuse_now, b.px, opx)
+        opy2 = jnp.where(diffuse_now, b.py, opy)
+        opz2 = jnp.where(diffuse_now, b.pz, opz)
+        onx2 = jnp.where(diffuse_now, b.nx, onx)
+        ony2 = jnp.where(diffuse_now, b.ny, ony)
+        onz2 = jnp.where(diffuse_now, b.nz, onz)
+        obr2 = jnp.where(diffuse_now, b.ar, obr)
+        obg2 = jnp.where(diffuse_now, b.ag, obg)
+        obb2 = jnp.where(diffuse_now, b.ab, obb)
+        cont = alive & ~diffuse_now & (b.inter != INTER_ABSORB)
+        ox2 = jnp.where(cont, b.nox, ox)
+        oy2 = jnp.where(cont, b.noy, oy)
+        oz2 = jnp.where(cont, b.noz, oz)
+        dx2 = jnp.where(cont, b.ndx, dx)
+        dy2 = jnp.where(cont, b.ndy, dy)
+        dz2 = jnp.where(cont, b.ndz, dz)
+        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, cont,
                 ov2, opx2, opy2, opz2, onx2, ony2, onz2, obr2, obg2, obb2)
 
     zero = jnp.zeros_like(o[:, 0])
@@ -482,23 +797,6 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
             jnp.stack([s[15], s[16], s[17]], -1))
 
 
-def scatter_photon_soa(scene: Scene, key, dx, dy, dz, h: HitSoA, f: FeatSoA):
-    """materials.scatter_photon, component-wise, stream-identical draws
-    (material.rs:27-45 Russian roulette with power renormalization).
-    Returns (ScatterSoA with RR-adjusted interaction, pr, pg, pb power
-    scale factors to apply to surviving photons)."""
-    k_scatter, k_rr = jax.random.split(key)
-    sc = scatter_soa(scene, k_scatter, dx, dy, dz, h, f)
-    hmax = jnp.maximum(sc.ar, jnp.maximum(sc.ag, sc.ab))
-    survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
-    inter = jnp.where(survive, sc.interaction, INTER_ABSORB).astype(jnp.int32)
-    inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
-    pr = jnp.where(survive, sc.ar * inv_h, 1.0)
-    pg = jnp.where(survive, sc.ag * inv_h, 1.0)
-    pb = jnp.where(survive, sc.ab * inv_h, 1.0)
-    return sc._replace(interaction=inter), pr, pg, pb
-
-
 def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
                               max_bounces: int, t_min: float, spawn_eps,
                               intersector: str):
@@ -508,44 +806,47 @@ def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
     Returns (px, py, pz, wr, wg, wb, nx, ny, nz, valid, caustic)."""
     from raytracer_tpu.ops.lights import emit_photons
     ph = emit_photons(scene.lights, key, n_photons)
-    n = n_photons
+    fused = use_fused(scene, intersector)
 
     def step(s, _):
         (ox, oy, oz, dx, dy, dz, wr, wg, wb,
-         alive, has_spec, has_diff, b) = s
-        k = jax.random.fold_in(jax.random.fold_in(key, 13), b)
-        o3 = jnp.stack([ox, oy, oz], -1)
-        d3 = jnp.stack([dx, dy, dz], -1)
-        if intersector == "leaf":
-            t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
-        else:
-            from raytracer_tpu.ops.pallas_intersect import _run as _prun
-            t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf,
-                                     alive=alive)
-        h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
-        sc, pr, pg, pb = scatter_photon_soa(scene, k, dx, dy, dz, h, f)
+         alive, has_spec, has_diff, b_) = s
+        k = jax.random.fold_in(jax.random.fold_in(key, 13), b_)
+        # scatter_photon_soa's split structure: scatter draws from
+        # k_scatter, the RR survival draw from k_rr
+        k_scatter, k_rr = jax.random.split(k)
+        b = bounce_step(scene, k_scatter, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+        # photon Russian roulette with power renormalization
+        # (material.rs:27-45)
+        hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))
+        survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
+        inter = jnp.where(survive, b.inter, INTER_ABSORB).astype(jnp.int32)
+        inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
+        pr = jnp.where(survive, b.ar * inv_h, 1.0)
+        pg = jnp.where(survive, b.ag * inv_h, 1.0)
+        pb = jnp.where(survive, b.ab * inv_h, 1.0)
 
-        live = alive & h.valid
-        diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
+        diffuse_now = alive & (inter == INTER_DIFFUSE)
         # deposit carries the power BEFORE this bounce's renormalization
         # (photon_mapper.rs:248 pushes `power`, then updates it)
-        deposit = (h.px, h.py, h.pz, wr, wg, wb, h.nx, h.ny, h.nz,
+        deposit = (b.px, b.py, b.pz, wr, wg, wb, b.nx, b.ny, b.nz,
                    diffuse_now, diffuse_now & has_spec & ~has_diff)
 
-        cont = live & (sc.interaction != INTER_ABSORB)
+        cont = alive & (inter != INTER_ABSORB)
         specular_now = cont & ~diffuse_now
-        side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
-        ox2 = jnp.where(cont, h.px + h.nx * side, ox)
-        oy2 = jnp.where(cont, h.py + h.ny * side, oy)
-        oz2 = jnp.where(cont, h.pz + h.nz * side, oz)
-        dx2 = jnp.where(cont, sc.dx, dx)
-        dy2 = jnp.where(cont, sc.dy, dy)
-        dz2 = jnp.where(cont, sc.dz, dz)
+        ox2 = jnp.where(cont, b.nox, ox)
+        oy2 = jnp.where(cont, b.noy, oy)
+        oz2 = jnp.where(cont, b.noz, oz)
+        dx2 = jnp.where(cont, b.ndx, dx)
+        dy2 = jnp.where(cont, b.ndy, dy)
+        dz2 = jnp.where(cont, b.ndz, dz)
         wr2 = jnp.where(cont, wr * pr, wr)
         wg2 = jnp.where(cont, wg * pg, wg)
         wb2 = jnp.where(cont, wb * pb, wb)
         return ((ox2, oy2, oz2, dx2, dy2, dz2, wr2, wg2, wb2, cont,
-                 has_spec | specular_now, has_diff | diffuse_now, b + 1),
+                 has_spec | specular_now, has_diff | diffuse_now, b_ + 1),
                 deposit)
 
     alive0 = ph.origin[:, 0] == ph.origin[:, 0]

@@ -86,7 +86,19 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
     with pdf_area = 1/A (rect) or 1/(2 pi r0^2) (sphere, hemisphere facing
     the shading point). Paired with emission-skip on diffuse-scattered rays
     in the tracer, PT+NEE keeps the plain PT mean while cutting variance on
-    direct-lit scenes (tests/test_nee.py)."""
+    direct-lit scenes (tests/test_nee.py).
+
+    CONTRACT (--nee correctness requires both; plain PT needs neither):
+    - every emitter must have a registered light record (add_sphere_light /
+      add_rect_light or the loader paths). The tracer skips BRDF-sampled
+      emission after EVERY diffuse bounce, so an emissive DiffuseLight
+      without a record (SceneBuilder.diffuse_light alone) loses its energy
+      under --nee;
+    - emit textures must be CONSTANT: the light record's flux is the emit
+      texture's mean color, so a non-constant emit texture would make the
+      shadow-ray estimator disagree with BRDF-sampled emission (the loader
+      only produces constant emits; checker/image emitters would need
+      texture evaluation at the sampled light point here)."""
     n = p.shape[0]
     n_lights = scene.lights.kind.shape[0]
     if n_lights == 0:

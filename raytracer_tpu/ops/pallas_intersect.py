@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.ops import vec
 from raytracer_tpu.ops.intersect import Hit, HitAttrs, sphere_uv
 from raytracer_tpu.scene.types import (
-    PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, Scene,
+    INTER_ABSORB, INTER_DIFFUSE, INTER_REFLECT, INTER_REFRACT,
+    INTER_SPECULAR, MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN,
+    MAT_METAL, PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, Scene, TEX_CHECKER,
 )
 
 TILE = 256
@@ -607,3 +609,244 @@ def intersect_pallas_full(scene: Scene, o, d, t_min, t_max, alive=None):
     hit = Hit(t, ty, ix)
     attrs, feats = attrs_from_winner_data(o, d, hit, data)
     return hit, attrs, feats
+
+
+# ------------------------------------------------- fused bounce megakernel
+
+PI = 3.141592653589793
+TWO_PI = 6.283185307179586
+FRAC_1_PI = 0.3183098861837907
+
+
+def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
+                     emit_ref, p_ref, n_ref, inter_ref):
+    """In-VMEM hit attributes + texture + scatter on the folded winner —
+    the (T,1)-column twin of wavefront_soa.attrs_soa + scatter_soa
+    (hit.rs:24-30, material.rs:92-212). The five scatter uniforms arrive in
+    ``uni_ref`` cols 0-4 (drawn OUTSIDE with the exact threefry splits of
+    scatter_soa, so results are stream-identical to the unfused path);
+    col 5 carries spawn_eps. Image/noise textures need HBM gathers and are
+    excluded by the wrapper's eligibility check (constant/checker only)."""
+    best_t, best_ty, best_ix, data = carry
+    del best_ix
+    col = lambda i: data[:, i:i + 1]
+    valid = best_ty >= 0.0
+    t = jnp.where(valid, best_t, 0.0)
+    px = rv.ox + t * rv.dx
+    py = rv.oy + t * rv.dy
+    pz = rv.oz + t * rv.dz
+
+    def unit3(x, y, z):
+        inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+        return x * inv, y * inv, z * inv
+
+    # sphere normal: slots [cx, cy, cz, csq]
+    cx, cy, cz = col(0), col(1), col(2)
+    r = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz - col(3), 1e-20))
+    inv_r = 1.0 / r
+    snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
+    # triangle smooth normal: slots [b1, b2, n0(3), n1(3), n2(3)]
+    tb1, tb2 = col(0), col(1)
+    tb0 = 1.0 - tb1 - tb2
+    tnx = tb0 * col(2) + tb1 * col(5) + tb2 * col(8)
+    tny = tb0 * col(3) + tb1 * col(6) + tb2 * col(9)
+    tnz = tb0 * col(4) + tb1 * col(7) + tb2 * col(10)
+    tnx, tny, tnz = unit3(tnx, tny, tnz)
+    is_s = best_ty == float(PRIM_SPHERE)
+    is_r = best_ty == float(PRIM_RECT)
+    # rect normal IS slots 0..2, same as the sphere center slots
+    nox = jnp.where(is_s, snx, jnp.where(is_r, col(0), tnx))
+    noy = jnp.where(is_s, sny, jnp.where(is_r, col(1), tny))
+    noz = jnp.where(is_s, snz, jnp.where(is_r, col(2), tnz))
+    front = (rv.dx * nox + rv.dy * noy + rv.dz * noz) < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = unit3(nox * sgn, noy * sgn, noz * sgn)
+
+    fb = N_GEO_SLOTS
+    kind = col(fb + 0)
+    fuzz = col(fb + 1)
+    ir = jnp.maximum(col(fb + 2), 1e-6)
+    tex_kind = col(fb + 3)
+    # texture: constant/checker (material.rs:52-68; checker is world-space)
+    sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+    chk = (jnp.abs(tex_kind - float(TEX_CHECKER)) < 0.5) & (sines >= 0.0)
+    alr = jnp.where(chk, col(fb + 7), col(fb + 4))
+    alg = jnp.where(chk, col(fb + 8), col(fb + 5))
+    alb = jnp.where(chk, col(fb + 9), col(fb + 6))
+
+    # scatter draws (scatter_soa stream order): u0,u1 = lambertian sphere;
+    # u2,u3 = metal fuzz sphere; u4 = dielectric reflect choice
+    u0 = uni_ref[:, 0:1]
+    u1 = uni_ref[:, 1:2]
+    u2 = uni_ref[:, 2:3]
+    u3 = uni_ref[:, 3:4]
+    u4 = uni_ref[:, 4:5]
+    eps = uni_ref[:, 5:6]
+
+    # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard
+    z = 1.0 - 2.0 * u0
+    phi = TWO_PI * u1
+    rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    ldx = nx + rs * jnp.cos(phi)
+    ldy = ny + rs * jnp.sin(phi)
+    ldz = nz + z
+    small = (ldx * ldx + ldy * ldy + ldz * ldz) < 1e-16
+    ldx = jnp.where(small, nx, ldx)
+    ldy = jnp.where(small, ny, ldy)
+    ldz = jnp.where(small, nz, ldz)
+
+    # Metal: reflect(unit_d) + fuzz * unit_sphere; absorb below surface
+    ux, uy, uz = unit3(rv.dx, rv.dy, rv.dz)
+    dn = ux * nx + uy * ny + uz * nz
+    rfx = ux - 2.0 * dn * nx
+    rfy = uy - 2.0 * dn * ny
+    rfz = uz - 2.0 * dn * nz
+    zm = 1.0 - 2.0 * u2
+    phm = TWO_PI * u3
+    rm = jnp.sqrt(jnp.maximum(0.0, 1.0 - zm * zm))
+    mdx = rfx + fuzz * rm * jnp.cos(phm)
+    mdy = rfy + fuzz * rm * jnp.sin(phm)
+    mdz = rfz + fuzz * zm
+    metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+
+    # Dielectric: Schlick + TIR + stochastic reflect/refract
+    ratio = jnp.where(front, 1.0 / ir, ir)
+    cos_t = jnp.minimum(-(ux * nx + uy * ny + uz * nz), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    cannot = ratio * sin_t > 1.0
+    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+    refl = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+    do_refl = cannot | (refl > u4)
+    ppx = ratio * (ux + cos_t * nx)
+    ppy = ratio * (uy + cos_t * ny)
+    ppz = ratio * (uz + cos_t * nz)
+    par = -jnp.sqrt(jnp.abs(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz)))
+    ddx = jnp.where(do_refl, rfx, ppx + par * nx)
+    ddy = jnp.where(do_refl, rfy, ppy + par * ny)
+    ddz = jnp.where(do_refl, rfz, ppz + par * nz)
+
+    is_lam = jnp.abs(kind - float(MAT_LAMBERTIAN)) < 0.5
+    is_met = jnp.abs(kind - float(MAT_METAL)) < 0.5
+    is_die = jnp.abs(kind - float(MAT_DIELECTRIC)) < 0.5
+    is_lgt = jnp.abs(kind - float(MAT_DIFFUSE_LIGHT)) < 0.5
+    diffish = is_lam | is_lgt
+
+    odx = jnp.where(diffish, ldx, jnp.where(is_met, mdx, ddx))
+    ody = jnp.where(diffish, ldy, jnp.where(is_met, mdy, ddy))
+    odz = jnp.where(diffish, ldz, jnp.where(is_met, mdz, ddz))
+    ar = jnp.where(is_lgt, FRAC_1_PI, alr)
+    ag = jnp.where(is_lgt, FRAC_1_PI, alg)
+    ab = jnp.where(is_lgt, FRAC_1_PI, alb)
+    inter = jnp.where(
+        diffish, float(INTER_DIFFUSE),
+        jnp.where(is_met,
+                  jnp.where(metal_ok, float(INTER_SPECULAR),
+                            float(INTER_ABSORB)),
+                  jnp.where(is_die,
+                            jnp.where(do_refl, float(INTER_REFLECT),
+                                      float(INTER_REFRACT)),
+                            float(INTER_DIFFUSE))))
+    inter = jnp.where(valid, inter, float(INTER_ABSORB))
+    lit = is_lgt & valid
+    er = jnp.where(lit, alr, 0.0)
+    eg = jnp.where(lit, alg, 0.0)
+    eb = jnp.where(lit, alb, 0.0)
+
+    side = jnp.sign(odx * nx + ody * ny + odz * nz) * eps
+    no_ref[:] = jnp.concatenate(
+        [px + nx * side, py + ny * side, pz + nz * side], axis=1)
+    nd_ref[:] = jnp.concatenate([odx, ody, odz], axis=1)
+    att_ref[:] = jnp.concatenate([ar, ag, ab], axis=1)
+    emit_ref[:] = jnp.concatenate([er, eg, eb], axis=1)
+    p_ref[:] = jnp.concatenate([px, py, pz], axis=1)
+    n_ref[:] = jnp.concatenate([nx, ny, nz], axis=1)
+    inter_ref[:] = inter.astype(jnp.int32)
+
+
+def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref,
+                   sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
+                   no_ref, nd_ref, att_ref, emit_ref, p_ref, n_ref,
+                   inter_ref, *, n_sph: int, n_rect: int, n_tri: int):
+    """One full bounce per call: closest hit over all tables + attrs +
+    texture + scatter, all in VMEM. Removes the per-bounce XLA stage
+    (attrs_soa + scatter_soa + the (N,32) winner-data round trip) that cost
+    a measured ~1/3 of the step at 960k lanes."""
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmin_ref)
+    rv = rv._replace(tmax=jnp.full_like(rv.tmin, BIG))
+    any_alive = jnp.any(alive_ref[:] > 0.5)
+
+    def live(carry):
+        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph)
+        carry = rect_stage(carry, rv, rect_ref, n_rect)
+        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
+        return carry
+
+    carry = jax.lax.cond(any_alive, live, lambda c: c, init_carry(rv))
+    _bounce_epilogue(rv, carry, uni_ref, no_ref, nd_ref, att_ref, emit_ref,
+                     p_ref, n_ref, inter_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
+                                             "interpret"))
+def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, *,
+                 n_sph, n_rect, n_tri, interpret):
+    n = o.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        o = jnp.pad(o, [(0, pad), (0, 0)])
+        d = jnp.pad(d, [(0, pad), (0, 0)])
+        tmin = jnp.pad(tmin, [(0, pad)])
+        alive = jnp.pad(alive, [(0, pad)])
+        uni = jnp.pad(uni, [(0, pad), (0, 0)])
+    tmin = tmin[:, None]
+    alive = alive.astype(jnp.float32)[:, None]
+
+    grid = (n_pad // TILE,)
+    kernel = functools.partial(_bounce_kernel, n_sph=n_sph, n_rect=n_rect,
+                               n_tri=n_tri)
+    flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri + 300
+    rs = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[rs(3), rs(3), rs(1), rs(1), rs(8)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[rs(3), rs(3), rs(3), rs(3), rs(3), rs(3), rs(1)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 160,
+            transcendentals=n_pad * max(1, n_sph)),
+        interpret=interpret,
+    )(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull)
+    return tuple(x[:n] for x in outs)
+
+
+def bounce_fused_eligible(scene: Scene) -> bool:
+    """The megakernel evaluates textures in VMEM: constant/checker only
+    (image/noise need HBM gathers), and only the pallas table budget."""
+    return (scene.images.shape[0] == 0
+            and scene.textures.noise_marker.shape[0] == 0)
+
+
+def bounce_fused(scene: Scene, o, d, t_min, alive, uni):
+    """One fused bounce: intersect + attrs + texture + scatter in a single
+    pallas call. ``uni`` is (N, 6): the five scatter uniforms (drawn with
+    scatter_soa's exact threefry splits — see wavefront_soa.scatter_uniforms)
+    and spawn_eps broadcast in col 5. Returns
+    (inter (N,) i32, new_o (N,3), new_d (N,3), att (N,3), emit (N,3),
+    p (N,3), n (N,3))."""
+    sph, rect, tri, cull, tcull = pack_tables(scene)
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    uni = jnp.pad(uni, [(0, 0), (0, 2)])  # (N, 8): lane-pad for VMEM
+    interpret = jax.default_backend() != "tpu"
+    no, nd, att, emit, p, nrm, inter = _call_bounce(
+        o, d, tmin, alive, uni, sph, rect, tri, cull, tcull,
+        n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
+        n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
+        interpret=interpret)
+    return inter[:, 0], no, nd, att, emit, p, nrm

@@ -225,14 +225,21 @@ def render_sppm(scene: Scene, config, key, mesh: Mesh = None, state=None,
 
     n_total = sp.n_iterations * sp.photons_per_iter
     total = config.samples_per_pixel
-    batch = max(1, min(config.host_spp_batch, total))
+    # same per-dispatch budgets as models/sppm.render (a ~40M-lane depth-50
+    # gather kills the device/tunnel; ~16M is safe, and >1.5M-lane wavefronts
+    # hit HBM buffer compression) — scaled by the device count since each
+    # chip only traces its pixel shard
+    n_dev = mesh.devices.size
+    lane_budget = max(1, 16_000_000 * n_dev // npix)
+    chunk_budget = max(1, 1_500_000 * n_dev // npix)
+    batch = max(1, min(config.host_spp_batch, total, lane_budget))
     done, i, rays_total, accum = 0, 0, 0, None
     while done < total:
         spp = min(batch, total - done)
         img, rays = sppm_gather_sharded(
             scene, state, jax.random.fold_in(jax.random.fold_in(key, 23), i),
             mesh=mesh, width=config.width, height=config.height, spp=spp,
-            spp_chunk=max(1, min(config.spp_chunk, spp)),
+            spp_chunk=max(1, min(config.spp_chunk, spp, chunk_budget)),
             max_depth=config.max_depth, t_min=config.t_min,
             spawn_eps_rel=config.spawn_eps_rel, n_total_photons=n_total,
             intersector=config.intersector)

@@ -23,7 +23,11 @@ we accept it with a default gray Lambertian.
 
 DiffuseLight spheres additionally register as photon-emitting lights
 (SphereDiffuseLight semantics, light.rs:67-125) so the SPPM integrator works
-on these scenes; flux is the emit texture's mean color, scale 1.
+on these scenes; flux is the emit texture's mean color, scale 1. Under
+``--nee`` that mean-flux record is exact only for CONSTANT emit textures
+(the shadow-ray estimator uses flux as Le while BRDF sampling sees the
+actual texture — see ops/nee.py::direct_light's contract); a checker emit
+would bias --nee renders, so plain PT/SPPM should be used for those.
 """
 
 from __future__ import annotations

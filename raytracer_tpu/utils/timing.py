@@ -38,11 +38,41 @@ class StageTimer:
         for name, secs in self.stages.items():
             lines.append(f"{name}: {secs:.2f}s")
         for name, v in self.counters.items():
-            if name.endswith("_rays") and secs > 0:
+            if name.endswith("_rays") and total > 0:
                 lines.append(f"{name}: {v/1e6:.2f}M ({v/total/1e6:.2f} Mrays/s)")
             else:
                 lines.append(f"{name}: {v:,.0f}")
         return "\n".join(lines)
+
+
+@dataclass
+class Progress:
+    """Live progress line for long renders (the indicatif::ProgressBar
+    analog, camera.rs:76,124-126): one stderr line per completed unit with
+    ETA and optional Mrays/s. Plain carriage-return ticking — no external
+    dependency, silent when not a TTY unless ``force``."""
+    total: int
+    label: str = "render"
+    force: bool = False
+    _done: int = 0
+    _rays: float = 0.0
+    _start: float = field(default_factory=time.time)
+
+    def tick(self, units: int = 1, rays: float = 0.0):
+        import sys
+        self._done += units
+        self._rays += float(rays)
+        if not (self.force or sys.stderr.isatty()):
+            return
+        elapsed = time.time() - self._start
+        rate = self._done / elapsed if elapsed > 0 else 0.0
+        eta = (self.total - self._done) / rate if rate > 0 else float("inf")
+        msg = (f"\r{self.label}: {self._done}/{self.total} "
+               f"[{elapsed:.0f}s elapsed, ETA {eta:.0f}s]")
+        if self._rays:
+            msg += f" {self._rays / elapsed / 1e6:.1f} Mrays/s"
+        end = "\n" if self._done >= self.total else ""
+        print(msg, end=end, file=sys.stderr, flush=True)
 
 
 @contextlib.contextmanager

@@ -37,10 +37,14 @@ def test_pt_parity_cornell():
                          spawn_eps_rel=1e-4, russian_roulette=False)
     img_j = np.asarray(img_j)
     np.testing.assert_allclose(img_j.mean(), img_o.mean(), rtol=0.10)
-    # the bright center block (floor + light view) is the least noisy
+    # the bright center block (floor + light view): without NEE its mean is
+    # dominated by rare direct-light hits — measured seed spread of the f32
+    # path itself at 128 spp is ~±16% (0.0114..0.0157 over 4 seeds), so a
+    # 10% band false-alarms on stream changes; 25% still catches real
+    # transport bugs (lost emission/attenuation shift this block >40%)
     c_o = img_o[8:16, 8:16].mean()
     c_j = img_j[8:16, 8:16].mean()
-    np.testing.assert_allclose(c_j, c_o, rtol=0.10)
+    np.testing.assert_allclose(c_j, c_o, rtol=0.25)
 
 
 def test_sppm_parity_cornell():

@@ -122,3 +122,50 @@ def test_soa_image_texture_scene():
     np.testing.assert_allclose(np.asarray(r_soa.radiance),
                                np.asarray(r_aos.radiance),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fused_bounce_matches_unfused():
+    """The fused bounce megakernel (intersect+attrs+texture+scatter in one
+    pallas call, fed scatter_uniforms) must match the unfused
+    attrs_soa+scatter_soa stage bit-for-bit up to FP association — the
+    uniforms come from identical threefry splits."""
+    from raytracer_tpu.models.wavefront_soa import bounce_step
+    for scene in (cornell_box(with_mesh=True), three_spheres()):
+        n = 2048
+        key = jax.random.PRNGKey(3)
+        pix = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+        o, d = camera_rays(scene.camera, key, pix, 32, 32)
+        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+        alive = jnp.ones((n,), bool)
+        kw = dict(t_min=1e-3, spawn_eps=0.05, intersector="pallas")
+        bf = bounce_step(scene, key, *comps, alive, fused=True, **kw)
+        bu = bounce_step(scene, key, *comps, alive, fused=False, **kw)
+        assert np.array_equal(np.asarray(bf.inter), np.asarray(bu.inter))
+        for name in ("ar", "ag", "ab", "er", "eg", "eb", "px", "py", "pz",
+                     "nx", "ny", "nz", "nox", "noy", "noz",
+                     "ndx", "ndy", "ndz"):
+            a = np.asarray(getattr(bf, name))
+            b = np.asarray(getattr(bu, name))
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                       err_msg=name)
+
+
+def test_fused_render_matches_unfused_render():
+    """Full regen render through the fused kernel vs the unfused stage:
+    same keys, same estimator — images agree to FP tolerance."""
+    from raytracer_tpu.models import wavefront_soa as ws
+    scene = three_spheres(1.0)
+    key = jax.random.PRNGKey(5)
+    kw = dict(width=16, height=16, lanes_per_pixel=2, samples_per_lane=4,
+              max_depth=6, t_min=1e-3, spawn_eps=0.01, intersector="pallas")
+    orig = ws.use_fused
+    try:
+        ws.use_fused = lambda scene, isec: True
+        img_f, rays_f, _ = ws.render_regen_soa(scene, key, **kw)
+        ws.use_fused = lambda scene, isec: False
+        img_u, rays_u, _ = ws.render_regen_soa(scene, key, **kw)
+    finally:
+        ws.use_fused = orig
+    assert int(rays_f) == int(rays_u)
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u),
+                               rtol=1e-4, atol=1e-5)
