@@ -68,6 +68,13 @@ def main():
     # reference-equivalent walk cap (photon_mapper.rs:334): depth 50 + RR
     rays50, dt50 = run(sc, isec, 50, rr=True)
 
+    # large-scene cliff (round-3): 64k-sphere field through the dense
+    # kernel with camera-distance chunk ordering (VERDICT r2 missing #2)
+    from raytracer_tpu.scene.builtin import sphere_field
+    fscene = sphere_field(65536)
+    rays_f, dt_f = run(fscene, "pallas", 16, rr=True)
+    mrays_field = rays_f / dt_f / 1e6
+
     # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
     # 250k photons, dense photon-query kernel
     from raytracer_tpu.models import sppm
@@ -88,6 +95,20 @@ def main():
     st = sppm.sppm_iteration(cscene, st, key, **skw)
     jax.block_until_ready(st.glob.flux)
     dt_sppm = time.time() - t0
+
+    # reference-scale SPPM iteration: 800x800, 500k photons/iter
+    # (photon_mapper.rs:148-149 defaults; round-2 VERDICT #6 target <=1.5 s)
+    grid_res8, _ = pg.choose_grid_resolution(
+        cscene.bounds_min, cscene.bounds_max, 500_000, 100)
+    skw8 = dict(skw, width=800, height=800, n_photons=500_000,
+                grid_res=grid_res8)
+    st8 = sppm.init_state(800 * 800)
+    st8 = sppm.sppm_iteration(cscene, st8, key, **skw8)
+    jax.block_until_ready(st8.glob.flux)
+    t0 = time.time()
+    st8 = sppm.sppm_iteration(cscene, st8, key, **skw8)
+    jax.block_until_ready(st8.glob.flux)
+    dt_sppm8 = time.time() - t0
 
     # on-TPU numeric smoke test (VERDICT r2 #5): render the two golden
     # scenes at 32x32 on the REAL chip and assert the same gamma-space
@@ -146,6 +167,9 @@ def main():
         "depth50_mrays": round(rays50 / dt50 / 1e6, 2),
         "depth50_extrapolated_s_to_1000spp": round(dt50 * (1000 / spp_timed), 1),
         "sppm_iter_s_400x400_250k": round(dt_sppm, 2),
+        "sppm_iter_s_800x800_500k": round(dt_sppm8, 2),
+        "mrays_field64k": round(mrays_field, 2),
+        "field64k_s_per_32spp": round(dt_f, 3),
         "numeric_ok": not golden_failures,
         "numeric_failures": golden_failures,
         "backend": jax.default_backend(),

@@ -94,9 +94,13 @@ def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
     py = oy + tt * dy
     pz = oz + tt * dz
 
-    # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]
+    # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]; slot 15 carries exact
+    # r^2 on the dense-kernel path (the csq expansion cancels at large
+    # coordinates); leaf winners leave slot 15 at 0 -> csq fallback
     cx, cy, cz = data[:, 0], data[:, 1], data[:, 2]
-    r = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz - data[:, 3], 1e-20))
+    r = jnp.sqrt(jnp.maximum(
+        jnp.maximum(data[:, 15],
+                    cx * cx + cy * cy + cz * cz - data[:, 3]), 1e-20))
     inv_r = 1.0 / r
     snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
 
@@ -308,6 +312,25 @@ class Bounce(NamedTuple):
     nz: jnp.ndarray
 
 
+def block_order(width: int, height: int, bs: int = 16):
+    """Static lane->pixel permutation putting a bs x bs pixel block into
+    each group of bs*bs consecutive lanes (= one intersect-kernel ray tile
+    for bs=16, TILE=256). Row-major lane order would make a tile a thin
+    1-row strip whose frustum sweeps the whole scene; block tiles keep both
+    the primary-ray frustum and the bounce-origin patch spatially tight, so
+    the kernel's per-chunk AABB cull actually rejects chunks (measured on
+    the 64k sphere field: the cull was ineffective with row tiles).
+    Returns (perm, inv): numpy arrays, perm[lane_slot] = pixel id."""
+    import numpy as np
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    nbx = -(-width // bs)
+    key_ = (((ys // bs) * nbx + (xs // bs)) * (bs * bs)
+            + (ys % bs) * bs + (xs % bs))
+    perm = np.argsort(key_.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
+
+
 def use_fused(scene: Scene, intersector: str) -> bool:
     """Static choice of the fused bounce megakernel.
 
@@ -503,7 +526,8 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     npix = width * height
     n = npix * lanes_per_pixel
     fused = use_fused(scene, intersector)
-    pix = jnp.arange(n, dtype=jnp.int32) % npix
+    perm, inv = block_order(width, height)
+    pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     quota = jnp.int32(samples_per_lane)
@@ -597,7 +621,8 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     s = jax.lax.while_loop(cond, body, init)
     accum = jnp.stack([s[13], s[14], s[15]], -1)
     accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    return accum, s[20], s[0]
+    # undo the block-tiled lane->pixel permutation (static gather)
+    return accum[jnp.asarray(inv)], s[20], s[0]
 
 
 def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
@@ -614,7 +639,8 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
     npix = width * height
     n = npix * lanes_per_pixel
     fused = use_fused(scene, intersector)
-    pix = jnp.arange(n, dtype=jnp.int32) % npix
+    perm, inv = block_order(width, height)
+    pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     er_ = est[:, 0][pix]
@@ -689,7 +715,8 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
     s = jax.lax.while_loop(cond, body, init)
     accum = jnp.stack([s[13], s[14], s[15]], -1)
     accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    return accum, s[19], s[0]
+    # undo the block-tiled lane->pixel permutation (static gather)
+    return accum[jnp.asarray(inv)], s[19], s[0]
 
 
 def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,

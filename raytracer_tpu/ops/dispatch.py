@@ -19,8 +19,13 @@ from __future__ import annotations
 from raytracer_tpu.ops.intersect import Hit, intersect_bruteforce
 from raytracer_tpu.scene.types import Scene
 
-BVH_AUTO_THRESHOLD = 16384
-PALLAS_MAX_PRIMS = 16384  # tables stay well under the ~16MB VMEM budget
+BVH_AUTO_THRESHOLD = 81920
+# Sphere tables cost 68 B/primitive in VMEM (17 f32 component planes); 80k
+# primitives ~= 5.6 MB, comfortably inside the ~16 MB budget alongside the
+# ray tiles. The distance-ordered chunk walk (pallas_intersect.py round 3)
+# keeps per-ray work sublinear on dense fields, so the dense kernel stays
+# the winner well past the old 16k cliff.
+PALLAS_MAX_PRIMS = 81920
 
 
 def _resolve(scene: Scene, method: str) -> str:

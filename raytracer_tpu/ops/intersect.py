@@ -95,32 +95,27 @@ def sphere_ts(o, d, center, radius, valid, t_min, t_max,
     """Quadratic sphere hit, half-b form, nearest-root-in-range
     (sphere.rs:24-55). Returns (N, C) distances, +inf on miss.
 
-    TPU-native formulation: the per-pair vector work is expanded into two
-    (N,3)x(3,C) matmuls (MXU) plus an elementwise (N,C) chain (VPU) —
-    nothing of shape (N,C,3) is ever materialized, which is what makes this
-    HBM-friendly:  half_b = o.d - c.d,  c_term = |o|^2 - 2 o.c + |c|^2 - r^2.
+    Direct oc = o - center(t) formulation: the expanded
+    |o|^2 - 2 o.c + |c|^2 - r^2 form (two MXU matmuls, used through round
+    2) cancels catastrophically at |o| ~ 1e3 coordinates — measured on the
+    64k sphere field it produced grazing PHANTOM hits/misses that an f64
+    oracle (and the direct-form pallas kernel) rejects. The (N,C)
+    component subtractions cost a little more HBM than the matmuls but
+    this path is the portable oracle; exactness wins.
     """
-    o_dot_d = vec.dot(o, d)[:, None]                  # (N, 1)
     a = vec.dot(d, d)[:, None]                        # (N, 1)
-    o_sq = vec.dot(o, o)[:, None]                     # (N, 1)
-    # HIGHEST precision: TPU matmuls default to bf16 passes, which is far
-    # too coarse for intersection geometry (t errors flip hit/miss).
-    hi = jax.lax.Precision.HIGHEST
-    c_dot_d = jnp.matmul(d, center.T, precision=hi)   # (N, C)  MXU
-    o_dot_c = jnp.matmul(o, center.T, precision=hi)   # (N, C)  MXU
-    c_sq = jnp.sum(center * center, axis=-1) - radius * radius  # (C,)
-    half_b = o_dot_d - c_dot_d
-    c_term = o_sq - 2.0 * o_dot_c + c_sq[None]
+    ocx = o[:, 0:1] - center[None, :, 0]              # (N, C)
+    ocy = o[:, 1:2] - center[None, :, 1]
+    ocz = o[:, 2:3] - center[None, :, 2]
     if velocity is not None and time is not None:
-        # motion blur: center(t) = c + v*t expands to extra matmul terms
+        # motion blur: center(t) = c + v*t, subtracted directly
         tcol = time[:, None]
-        v_dot_d = jnp.matmul(d, velocity.T, precision=hi)
-        v_dot_o = jnp.matmul(o, velocity.T, precision=hi)
-        c_dot_v = jnp.sum(center * velocity, axis=-1)[None]
-        v_sq = jnp.sum(velocity * velocity, axis=-1)[None]
-        half_b = half_b - tcol * v_dot_d
-        c_term = c_term + tcol * (2.0 * c_dot_v - 2.0 * v_dot_o) \
-                 + tcol * tcol * v_sq
+        ocx = ocx - tcol * velocity[None, :, 0]
+        ocy = ocy - tcol * velocity[None, :, 1]
+        ocz = ocz - tcol * velocity[None, :, 2]
+    half_b = d[:, 0:1] * ocx + d[:, 1:2] * ocy + d[:, 2:3] * ocz
+    c_term = (ocx * ocx + ocy * ocy + ocz * ocz
+              - (radius * radius)[None])
     disc = half_b * half_b - a * c_term
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     inv_a = 1.0 / a

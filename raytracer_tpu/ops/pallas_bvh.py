@@ -120,13 +120,17 @@ def build_leaf_tables(scene: Scene, leaf_size: int = LEAF_SIZE,
             c, csq[None], feats_all[:, ix], ix[None].astype(np.float64),
         ], 0).astype(np.float32)
 
-    # ---- dense big-sphere table (chunked like the brute-force kernel)
+    # ---- dense big-sphere table (chunked like the brute-force kernel);
+    # row 17 = r^2 for sphere_stage's direct-form quadratic (see
+    # pallas_intersect.SPH_RSQ_ROW)
     nb = len(big_ix)
     b_pad = max(BIG_CHUNK, -(-nb // BIG_CHUNK) * BIG_CHUNK)
-    big_tab = np.zeros((17, b_pad), np.float32)
+    big_tab = np.zeros((18, b_pad), np.float32)
     big_tab[3, :] = 3e38                                    # pad: disc < 0
+    big_tab[17, :] = -3e38                                  # pad: c_term > 0
     if nb:
-        big_tab[:, :nb] = planes(big_ix)
+        big_tab[:17, :nb] = planes(big_ix)
+        big_tab[17, :nb] = (radii[big_ix] ** 2).astype(np.float32)
     n_chunks = b_pad // BIG_CHUNK
     big_cull = np.zeros((6, n_chunks), np.float32)
     big_cull[:3] = 3e38

@@ -64,9 +64,12 @@ CHUNK = 512        # rect/tri chunk width
 # are incoherent after the first bounce so culling rarely skips — measured:
 # 1024 > 512 > 128 on scene_500.
 SPH_CHUNK = 1024
+SUPER = 8          # sphere chunks per superchunk AABB (two-level cull)
 N_GEO_SLOTS = 16
 N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
+SPH_RSQ_ROW = 5 + N_FEAT  # sphere table row 17: r^2 (direct-form test)
+SPH_RSQ_SLOT = 15         # winner slot carrying r^2 (unused by rect/tri)
 # feature row order (appended to every table; also the winner-slot order
 # after N_GEO_SLOTS): kind, fuzz, ir, tex_kind, c0(3), c1(3), image_id, mat_id
 
@@ -130,12 +133,13 @@ def _morton_order(centers):
 def pack_tables(scene: Scene):
     """Pack scene tables into the kernel's component-plane layout. Empty
     tables become one fully-padded chunk whose pad values guarantee a miss.
-    Spheres are Morton-ordered; returns (sph, rect, tri, sph_cull) where
-    sph_cull is the (6, n_sph_chunks) per-chunk AABB table and the sphere
-    block carries an extra original-index row (row 4+N_FEAT)."""
-    sph, cull = _pack_spheres(scene)
+    Spheres are Morton-ordered; returns (sph, rect, tri, sph_cull, tri_cull,
+    sph_scull) where sph_cull/sph_scull are the (6, n_chunks)/(6, n_supers)
+    per-chunk/per-superchunk AABB tables and the sphere block carries an
+    extra original-index row (row 4+N_FEAT)."""
+    sph, cull, scull = _pack_spheres(scene)
     rec, tri, tcull = pack_rect_tri(scene)
-    return sph, rec, tri, cull, tcull
+    return sph, rec, tri, cull, tcull, scull
 
 
 def _pack_spheres(scene: Scene):
@@ -144,26 +148,95 @@ def _pack_spheres(scene: Scene):
     if n_s:
         sph_chunk = eff_chunk(n_s, SPH_CHUNK)
         order = _morton_order(s.center.astype(jnp.float32))
+        # Near-to-far CHUNK order from the camera: the kernel's per-chunk
+        # cull bounds `leave` by each ray's running best_t, so chunks
+        # processed after the first hit mostly cull — IF a near chunk came
+        # first to shrink best_t. Morton gives spatially-compact chunks;
+        # sorting those chunks by camera distance makes the scan
+        # effectively early-exit for primary (and, via the origin side of
+        # the slab test, most secondary) rays. Large dense fields go from
+        # O(N) to ~O(chunks actually touched) per ray (round-3 cliff work;
+        # reference bar: bvh.rs:60-101).
+        if n_s > sph_chunk:
+            # pad the CHUNK count to a SUPER multiple so the kernel's
+            # two-level cull (8 Morton-consecutive chunks per superchunk)
+            # has static shape; pad chunks are all-miss with inverted AABBs
+            k_raw = -(-n_s // sph_chunk)
+            k_ch = -(-k_raw // SUPER) * SUPER
+            n_pad_s = k_ch * sph_chunk
+            cpad = jnp.pad(s.center[order].astype(jnp.float32),
+                           [(0, n_pad_s - n_s), (0, 0)],
+                           constant_values=3e38)
+            cen = cpad.reshape(k_ch, sph_chunk, 3)
+            clo = jnp.min(cen, 1)
+            chi = jnp.max(jnp.where(cen < 3e38, cen, -3e38), 1)
+            cam = scene.camera.origin.astype(jnp.float32)
+            gap = jnp.maximum(jnp.maximum(clo - cam[None], cam[None] - chi),
+                              0.0)
+            gap2 = jnp.sum(gap * gap, -1)                         # (k_ch,)
+            # supers = consecutive Morton chunks (spatially compact);
+            # supers near-to-far from camera, members near-to-far within
+            sup_gap2 = jnp.min(gap2.reshape(-1, SUPER), 1)
+            sup_order = jnp.argsort(sup_gap2)                     # (k_sup,)
+            within = jnp.argsort(gap2.reshape(-1, SUPER), 1)      # (k_sup, 8)
+            chunk_order = (sup_order[:, None] * SUPER
+                           + within[sup_order]).reshape(-1)       # (k_ch,)
+            perm = (chunk_order[:, None] * sph_chunk
+                    + jnp.arange(sph_chunk)[None]).reshape(-1)
+            order = jnp.pad(order, (0, n_pad_s - n_s),
+                            constant_values=-1)[perm]
+            keep = order >= 0
+            # pad slots (order == -1) become always-miss rows below via
+            # the csq=3e38 fill keyed off this mask
+            order = jnp.maximum(order, 0)
+        else:
+            keep = None
         c = s.center[order].T.astype(jnp.float32)          # (3, S)
         r = s.radius[order].astype(jnp.float32)
         orig = order.astype(jnp.float32)[None]
+        # row 17 = r^2: the chunk test uses the DIRECT oc = o - c quadratic
+        # (exact parity with ops/intersect.py). The expanded
+        # |o|^2 - 2 o.c + csq form loses ~7 bits to cancellation at
+        # |o| ~ 1e3 coordinates and flipped grazing hits to misses
+        # (found on the 64k field: disc = -2.6e-4 for a true hit).
+        # csq (row 3) stays for the leaf kernel's winner recompute.
         sph = jnp.concatenate([
             c, (jnp.sum(c * c, 0) - r * r)[None],
-            _feature_rows(scene, s.mat_id[order]), orig], 0)
-        sph = _pad_cols(sph, sph_chunk, 0.0)
-        sph = sph.at[3, n_s:].set(3e38)                    # pad -> disc < 0
+            _feature_rows(scene, s.mat_id[order]), orig, (r * r)[None]], 0)
+        if keep is not None:
+            # interleaved pad slots (chunk-aligned): force a guaranteed miss
+            sph = sph.at[3].set(jnp.where(keep, sph[3], 3e38))
+            sph = sph.at[SPH_RSQ_ROW].set(
+                jnp.where(keep, sph[SPH_RSQ_ROW], -3e38))
+            sph = _pad_cols(sph, sph_chunk, 0.0)
+            lo = jnp.where(keep[None], c - r[None], 3e38)
+            hi = jnp.where(keep[None], c + r[None], -3e38)
+        else:
+            sph = _pad_cols(sph, sph_chunk, 0.0)
+            sph = sph.at[3, n_s:].set(3e38)                # pad -> disc < 0
+            sph = sph.at[SPH_RSQ_ROW, n_s:].set(-3e38)
+            lo = c - r[None]
+            hi = c + r[None]
         # per-chunk AABBs (pad entries get inverted boxes -> never expand)
-        lo = _pad_cols((c - r[None]), sph_chunk, 3e38)
-        hi = _pad_cols((c + r[None]), sph_chunk, -3e38)
+        lo = _pad_cols(lo, sph_chunk, 3e38)
+        hi = _pad_cols(hi, sph_chunk, -3e38)
         k = lo.shape[1] // sph_chunk
         cull = jnp.concatenate([
             lo.reshape(3, k, sph_chunk).min(2),
             hi.reshape(3, k, sph_chunk).max(2)], 0)        # (6, k)
+        if k > SUPER:
+            scull = jnp.concatenate([
+                cull[0:3].reshape(3, k // SUPER, SUPER).min(2),
+                cull[3:6].reshape(3, k // SUPER, SUPER).max(2)], 0)
+        else:
+            scull = cull
     else:
-        sph = jnp.zeros((5 + N_FEAT, SPH_CHUNK), jnp.float32).at[3, :].set(3e38)
+        sph = (jnp.zeros((6 + N_FEAT, SPH_CHUNK), jnp.float32)
+               .at[3, :].set(3e38).at[SPH_RSQ_ROW, :].set(-3e38))
         cull = jnp.concatenate([jnp.full((3, 1), 3e38),
                                 jnp.full((3, 1), -3e38)], 0)
-    return sph, cull
+        scull = cull
+    return sph, cull, scull
 
 
 def pack_rect_tri(scene: Scene):
@@ -306,32 +379,47 @@ def init_carry(rv: RayVals):
             jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
 
 
-# slot layout for a sphere winner: geometry, features, original index
-SPHERE_SLOTS = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS)) + [14])
+# slot layout for a sphere winner: geometry, features, original index, r^2
+SPHERE_SLOTS = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS))
+                + [14, SPH_RSQ_SLOT])
+
+
+def _tile_slab_any(rv: RayVals, box_ref, jc, best_t):
+    """Whole-ray-tile slab test vs one table AABB column: True if ANY lane's
+    [tmin, min(best_t, tmax)] segment can touch box jc."""
+    t0x = (box_ref[0, jc] - rv.ox) * rv.inv_dx
+    t1x = (box_ref[3, jc] - rv.ox) * rv.inv_dx
+    t0y = (box_ref[1, jc] - rv.oy) * rv.inv_dy
+    t1y = (box_ref[4, jc] - rv.oy) * rv.inv_dy
+    t0z = (box_ref[2, jc] - rv.oz) * rv.inv_dz
+    t1z = (box_ref[5, jc] - rv.oz) * rv.inv_dz
+    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+    leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z),
+                                    jnp.minimum(best_t, rv.tmax)))
+    return jnp.any(enter <= leave)
 
 
 def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
-                 chunk: int = None):
-    """Dense chunk-culled sphere tests (sphere.rs:24-55 math)."""
+                 chunk: int = None, scull_ref=None):
+    """Dense chunk-culled sphere tests (sphere.rs:24-55 math).
+
+    Two-level cull for big tables: chunks are Morton-compact and ordered
+    near-to-far from the camera (pack side), grouped into SUPER-chunk
+    AABBs (``scull_ref``); a ray tile slab-tests the superchunk first and
+    skips its 8 chunks wholesale. With each lane's running best_t bounding
+    ``leave``, the near-to-far order makes the scan effectively early-exit
+    after the first hits land (the dense kernel's answer to bvh.rs:60-101
+    for 64k+ primitive scenes)."""
     if chunk is None:
         chunk = eff_chunk(n_sph, SPH_CHUNK)
-    for j in range(0, n_sph, chunk):
-        jc = j // chunk
-        # slab test of the whole ray tile vs this chunk's AABB
-        t0x = (cull_ref[0, jc] - rv.ox) * rv.inv_dx
-        t1x = (cull_ref[3, jc] - rv.ox) * rv.inv_dx
-        t0y = (cull_ref[1, jc] - rv.oy) * rv.inv_dy
-        t1y = (cull_ref[4, jc] - rv.oy) * rv.inv_dy
-        t0z = (cull_ref[2, jc] - rv.oz) * rv.inv_dz
-        t1z = (cull_ref[5, jc] - rv.oz) * rv.inv_dz
-        enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
-        leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.minimum(jnp.maximum(t0z, t1z),
-                                        jnp.minimum(carry[0], rv.tmax)))
-        any_hit = jnp.any(enter <= leave)
+    n_ch = -(-n_sph // chunk)
+
+    def run_chunk(c, j):
+        any_hit = _tile_slab_any(rv, cull_ref, j // chunk, c[0])
 
         def chunk_body(c, j=j):
             # NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at
@@ -341,9 +429,16 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
             cx = sph_ref[0:1, j:j + chunk]                      # (1,C)
             cy = sph_ref[1:2, j:j + chunk]
             cz = sph_ref[2:3, j:j + chunk]
-            csq = sph_ref[3:4, j:j + chunk]
-            half_b = rv.o_dot_d - (rv.dx * cx + rv.dy * cy + rv.dz * cz)
-            c_term = rv.o_sq - 2.0 * (rv.ox * cx + rv.oy * cy + rv.oz * cz) + csq
+            rsq = sph_ref[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, j:j + chunk]
+            # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
+            # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
+            # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
+            # field, disc = -2.6e-4); the extra 3 subs are ~10% of the body
+            ocx = rv.ox - cx
+            ocy = rv.oy - cy
+            ocz = rv.oz - cz
+            half_b = rv.dx * ocx + rv.dy * ocy + rv.dz * ocz
+            c_term = ocx * ocx + ocy * ocy + ocz * ocz - rsq
             disc = half_b * half_b - rv.a * c_term
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             r1 = (-half_b - sq) * rv.inv_a
@@ -354,7 +449,23 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
             return _fold(c, t, (disc >= 0.0), float(j), PRIM_SPHERE,
                          sph_ref[:, j:j + chunk], SPHERE_SLOTS, [])
 
-        carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
+        return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
+
+    if scull_ref is None or n_ch <= SUPER:
+        for j in range(0, n_sph, chunk):
+            carry = run_chunk(carry, j)
+        return carry
+
+    # two-level: superchunk slab test gates its SUPER member chunks
+    for s_i in range(n_ch // SUPER):
+        any_super = _tile_slab_any(rv, scull_ref, s_i, carry[0])
+
+        def super_body(c, s_i=s_i):
+            for m in range(SUPER):
+                c = run_chunk(c, (s_i * SUPER + m) * chunk)
+            return c
+
+        carry = jax.lax.cond(any_super, super_body, lambda c: c, carry)
     return carry
 
 
@@ -450,7 +561,7 @@ def finish_carry(carry, t_out, ty_out, ix_out, data_out):
 
 def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
                     sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
-                    t_out, ty_out, ix_out, data_out,
+                    scull_ref, t_out, ty_out, ix_out, data_out,
                     *, n_sph: int, n_rect: int, n_tri: int):
     # whole-tile skip for fully-retired tiles: a value-returning cond keeps
     # the output writes unconditional (conditional ref stores stall the
@@ -459,7 +570,8 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     any_alive = jnp.any(alive_ref[:] > 0.5)
 
     def live(carry):
-        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph)
+        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
+                             scull_ref=scull_ref)
         carry = rect_stage(carry, rv, rect_ref, n_rect)
         carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry
@@ -470,8 +582,8 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, *,
-                 n_sph, n_rect, n_tri, interpret):
+def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
+                 scull, *, n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -503,6 +615,7 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -521,13 +634,13 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, *,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull)
+    )(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
 
 
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
-    sph, rect, tri, cull, tcull = pack_tables(scene)
+    sph, rect, tri, cull, tcull, scull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
@@ -538,7 +651,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     # empty tables are padded to one dummy always-miss chunk; skip their
     # stages entirely (a dummy chunk costs as much as a real one)
     return _call_kernel(
-        o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
+        o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
@@ -561,9 +674,12 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
     p = o + t[:, None] * d
     ty = hit.prim_type
 
-    # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]
+    # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]; slot 15 = exact r^2 on
+    # the dense path (0 from leaf winners -> csq-expansion fallback)
     c = data[:, 0:3]
-    r = jnp.sqrt(jnp.maximum(jnp.sum(c * c, -1) - data[:, 3], 1e-20))
+    r = jnp.sqrt(jnp.maximum(
+        jnp.maximum(data[:, SPH_RSQ_SLOT],
+                    jnp.sum(c * c, -1) - data[:, 3]), 1e-20))
     sph_n = (p - c) / r[:, None]
 
     # rect: slots [n(3), a_hot(3), b_hot(3), k, a0, a1, b0, b1]
@@ -640,9 +756,11 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
         return x * inv, y * inv, z * inv
 
-    # sphere normal: slots [cx, cy, cz, csq]
+    # sphere normal: slots [cx, cy, cz, csq]; slot 15 = exact r^2
     cx, cy, cz = col(0), col(1), col(2)
-    r = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz - col(3), 1e-20))
+    r = jnp.sqrt(jnp.maximum(
+        jnp.maximum(col(SPH_RSQ_SLOT),
+                    cx * cx + cy * cy + cz * cz - col(3)), 1e-20))
     inv_r = 1.0 / r
     snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
     # triangle smooth normal: slots [b1, b2, n0(3), n1(3), n2(3)]
@@ -765,8 +883,9 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
 
 def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref,
                    sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
-                   no_ref, nd_ref, att_ref, emit_ref, p_ref, n_ref,
-                   inter_ref, *, n_sph: int, n_rect: int, n_tri: int):
+                   scull_ref, no_ref, nd_ref, att_ref, emit_ref, p_ref,
+                   n_ref, inter_ref, *, n_sph: int, n_rect: int,
+                   n_tri: int):
     """One full bounce per call: closest hit over all tables + attrs +
     texture + scatter, all in VMEM. Removes the per-bounce XLA stage
     (attrs_soa + scatter_soa + the (N,32) winner-data round trip) that cost
@@ -776,7 +895,8 @@ def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref,
     any_alive = jnp.any(alive_ref[:] > 0.5)
 
     def live(carry):
-        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph)
+        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
+                             scull_ref=scull_ref)
         carry = rect_stage(carry, rv, rect_ref, n_rect)
         carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry
@@ -788,8 +908,8 @@ def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, *,
-                 n_sph, n_rect, n_tri, interpret):
+def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull,
+                 scull, *, n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -812,7 +932,7 @@ def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, *,
         kernel,
         grid=grid,
         in_specs=[rs(3), rs(3), rs(1), rs(1), rs(8)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=[rs(3), rs(3), rs(3), rs(3), rs(3), rs(3), rs(1)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
@@ -820,7 +940,7 @@ def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, *,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 160,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull)
+    )(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, scull)
     return tuple(x[:n] for x in outs)
 
 
@@ -838,13 +958,13 @@ def bounce_fused(scene: Scene, o, d, t_min, alive, uni):
     and spawn_eps broadcast in col 5. Returns
     (inter (N,) i32, new_o (N,3), new_d (N,3), att (N,3), emit (N,3),
     p (N,3), n (N,3))."""
-    sph, rect, tri, cull, tcull = pack_tables(scene)
+    sph, rect, tri, cull, tcull, scull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     uni = jnp.pad(uni, [(0, 0), (0, 2)])  # (N, 8): lane-pad for VMEM
     interpret = jax.default_backend() != "tpu"
     no, nd, att, emit, p, nrm, inter = _call_bounce(
-        o, d, tmin, alive, uni, sph, rect, tri, cull, tcull,
+        o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, scull,
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,

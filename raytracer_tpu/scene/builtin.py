@@ -62,6 +62,48 @@ def cornell_box(aspect_ratio: float = 1.0, with_mesh: bool = True,
     return b.compile()
 
 
+def sphere_field(n: int = 65536, aspect_ratio: float = 4.0 / 3.0,
+                 seed: int = 0):
+    """Large-scene stress bench: an n-sphere jittered grid field over a
+    ground sphere, mixed lambertian/metal/glass, plus a sky light — the
+    scene class the reference's O(log N) BVH (bvh.rs:60-101) handles
+    trivially and a dense O(N) scan does not. Used by bench.py to publish
+    the >16k-primitive throughput story."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    b.add_sphere((0.0, -10000.0, 0.0), 10000.0, ground)
+    side = int(np.ceil(np.sqrt(n)))
+    xs, zs = np.meshgrid(np.arange(side), np.arange(side))
+    xs = (xs.reshape(-1)[:n] - side / 2) * 1.0
+    zs = (zs.reshape(-1)[:n] - side / 2) * 1.0
+    jit = rng.uniform(-0.35, 0.35, (2, n))
+    r = rng.uniform(0.12, 0.32, n)
+    kind = rng.uniform(0.0, 1.0, n)
+    albedo = rng.uniform(0.2, 0.95, (n, 3))
+    # a few deduped materials (the kernel denormalizes per primitive; 64
+    # distinct records keep the build fast while exercising the table path)
+    mats = []
+    for i in range(64):
+        a = tuple(albedo[i * (n // 64) % n])
+        if i % 4 == 3:
+            mats.append(b.metal(b.constant_texture(a), float(r[i]) % 0.3))
+        elif i % 16 == 5:
+            mats.append(b.dielectric(1.5))
+        else:
+            mats.append(b.lambertian(b.constant_texture(a)))
+    for i in range(n):
+        b.add_sphere((float(xs[i] + jit[0, i]), float(r[i]),
+                      float(zs[i] + jit[1, i])), float(r[i]),
+                     mats[int(kind[i] * 64) % 64])
+    b.add_sphere_light((0.0, 60.0, 0.0), 20.0, (4.0, 4.0, 4.0), 100.0)
+    b.set_camera(look_from=(0.0, 6.0, float(side) * 0.55),
+                 look_at=(0.0, 0.5, 0.0), vfov=55.0,
+                 aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=20.0)
+    return b.compile()
+
+
 def three_spheres(aspect_ratio: float = 16.0 / 9.0):
     """Small book-1-style test scene: ground + lambertian/metal/glass,
     with a sphere light for PT testability (no reference analog; used by
