@@ -70,6 +70,17 @@ N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
 SPH_RSQ_ROW = 5 + N_FEAT  # sphere table row 17: r^2 (direct-form test)
 SPH_RSQ_SLOT = 15         # winner slot carrying r^2 (unused by rect/tri)
+# Ordered dynamic chunk walk (large sphere tables): per-tile near-to-far
+# chunk order rides scalar prefetch (SMEM). Byte-packed ids cap the walk at
+# 256 chunks (256 * SPH_CHUNK = 262k spheres); the SMEM budget bounds
+# n_tiles * words — beyond either, fall back to the static two-level scan.
+ORDER_MIN_CHUNKS = 16
+ORDER_MAX_CHUNKS = 256
+ORDER_SMEM_BUDGET = 600_000
+# Debug: ordered-walk kernels also emit per-tile (chunks walked, bodies
+# run). Trace-time constant — clear _call_kernel caches after toggling.
+ORDER_STATS = False
+_last_order_stats = None  # (walked (G,), bodies (G,)) from the last call
 # feature row order (appended to every table; also the winner-slot order
 # after N_GEO_SLOTS): kind, fuzz, ir, tex_kind, c0(3), c1(3), image_id, mat_id
 
@@ -403,6 +414,39 @@ def _tile_slab_any(rv: RayVals, box_ref, jc, best_t):
     return jnp.any(enter <= leave)
 
 
+def _sphere_chunk_fold(c, rv: RayVals, blk, base):
+    """One sphere chunk's quadratic tests + fold. ``blk`` is the loaded
+    (rows, C) table slice; ``base`` the chunk's first column (python float
+    for the static walk, traced f32 scalar for the ordered walk).
+
+    NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at HIGHEST)
+    was measured SLOWER (65 vs 42-47 ms per 960k cast) — the K=3 matmul +
+    operand relayouts cost more than the 10 VPU broadcast passes they
+    replace. Kept on the VPU."""
+    cx = blk[0:1, :]                                            # (1,C)
+    cy = blk[1:2, :]
+    cz = blk[2:3, :]
+    rsq = blk[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, :]
+    # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
+    # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
+    # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
+    # field, disc = -2.6e-4); the extra 3 subs are ~10% of the body
+    ocx = rv.ox - cx
+    ocy = rv.oy - cy
+    ocz = rv.oz - cz
+    half_b = rv.dx * ocx + rv.dy * ocy + rv.dz * ocz
+    c_term = ocx * ocx + ocy * ocy + ocz * ocz - rsq
+    disc = half_b * half_b - rv.a * c_term
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-half_b - sq) * rv.inv_a
+    r2 = (-half_b + sq) * rv.inv_a
+    ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
+    ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
+    t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+    return _fold(c, t, (disc >= 0.0), base, PRIM_SPHERE,
+                 blk, SPHERE_SLOTS, [])
+
+
 def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
                  chunk: int = None, scull_ref=None):
     """Dense chunk-culled sphere tests (sphere.rs:24-55 math).
@@ -422,32 +466,8 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
         any_hit = _tile_slab_any(rv, cull_ref, j // chunk, c[0])
 
         def chunk_body(c, j=j):
-            # NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at
-            # HIGHEST) was measured SLOWER (65 vs 42-47 ms per 960k cast) —
-            # the K=3 matmul + operand relayouts cost more than the 10 VPU
-            # broadcast passes they replace. Kept on the VPU.
-            cx = sph_ref[0:1, j:j + chunk]                      # (1,C)
-            cy = sph_ref[1:2, j:j + chunk]
-            cz = sph_ref[2:3, j:j + chunk]
-            rsq = sph_ref[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, j:j + chunk]
-            # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
-            # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
-            # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
-            # field, disc = -2.6e-4); the extra 3 subs are ~10% of the body
-            ocx = rv.ox - cx
-            ocy = rv.oy - cy
-            ocz = rv.oz - cz
-            half_b = rv.dx * ocx + rv.dy * ocy + rv.dz * ocz
-            c_term = ocx * ocx + ocy * ocy + ocz * ocz - rsq
-            disc = half_b * half_b - rv.a * c_term
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            r1 = (-half_b - sq) * rv.inv_a
-            r2 = (-half_b + sq) * rv.inv_a
-            ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
-            ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
-            t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
-            return _fold(c, t, (disc >= 0.0), float(j), PRIM_SPHERE,
-                         sph_ref[:, j:j + chunk], SPHERE_SLOTS, [])
+            return _sphere_chunk_fold(c, rv, sph_ref[:, j:j + chunk],
+                                      float(j))
 
         return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
 
@@ -467,6 +487,163 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
 
         carry = jax.lax.cond(any_super, super_body, lambda c: c, carry)
     return carry
+
+
+def _tile_chunk_order(o, alive, scull):
+    """Per-ray-tile near-to-far SUPERCHUNK walk order, byte-packed for
+    scalar prefetch (4 ids per i32 word).
+
+    The gap math (tile alive-origin AABB vs superchunk AABB) mirrors
+    ``sphere_stage_ordered`` exactly: min/max/sub are rounding-free given
+    identical operands and the squared sum uses the same term order, so
+    the kernel's recomputed gap agrees with this ordering bit-for-bit.
+    Returns (words (G*W,) i32, W)."""
+    g = o.shape[0] // TILE
+    k = scull.shape[1]
+    to = o.reshape(g, TILE, 3)
+    am = (alive.reshape(g, TILE) > 0.5)[..., None]
+    tlo = jnp.min(jnp.where(am, to, BIG), 1)                  # (G,3)
+    thi = jnp.max(jnp.where(am, to, -BIG), 1)
+    clo = scull[0:3].T[None]                                  # (1,K,3)
+    chi = scull[3:6].T[None]
+    gap = jnp.maximum(jnp.maximum(clo - thi[:, None], tlo[:, None] - chi),
+                      0.0)
+    g2 = (gap[..., 0] * gap[..., 0] + gap[..., 1] * gap[..., 1]
+          + gap[..., 2] * gap[..., 2])                        # (G,K)
+    order = jnp.argsort(g2, axis=1).astype(jnp.int32)
+    w = -(-k // 4)
+    order = jnp.pad(order, [(0, 0), (0, w * 4 - k)])
+    words = (order[:, 0::4] | (order[:, 1::4] << 8)
+             | (order[:, 2::4] << 16) | (order[:, 3::4] << 24))
+    return words.reshape(-1), w
+
+
+def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
+                         cull_ref, tile, *, w_words: int, k_ch: int,
+                         chunk: int):
+    """Per-tile distance-ordered dynamic SUPERCHUNK walk — the dense
+    kernel's O(chunks-actually-reachable) mode for large fields (the
+    answer to bvh.rs:60-101 at 16k+ primitives).
+
+    Granularity matters: all per-walk-step math runs on (T,1) column
+    vectors (1/128 VPU lane utilization) plus cross-sublane reductions, so
+    a per-CHUNK walk spent more on loop overhead than it saved in bodies
+    (measured: 72-chunk walk ~2.5 us/tile/step — as much time skipping as
+    scanning). The walk therefore visits SUPER-chunk groups (8 Morton-
+    consecutive chunks): k/8 dynamic steps, each gating a static 8-member
+    inner loop identical to the static path's ``super_body``.
+
+    Supers are visited in THIS TILE's near-to-far order (``order_ref``,
+    byte-packed ids in SMEM; built per bounce by :func:`_tile_chunk_order`
+    from the lanes' actual origins, so it adapts to secondary bounces
+    where the pack-time camera order is useless). Each step reads the
+    super AABB from the SMEM cull table, recomputes the tile gap, and
+    TERMINATES the walk once the gap exceeds every alive lane's remaining
+    reach max(best_t * |d|) — all farther supers are unhittable since the
+    order is ascending in gap. Near-to-far processing also shrinks best_t
+    early, so member slab tests prune harder than the static camera-order
+    scan (measured: 22 -> ~11 chunk bodies per tile on 64k-field bounce
+    wavefronts). ``tile`` is the program id, hoisted by the caller
+    (pl.program_id inside lax.cond has no interpret-mode lowering).
+
+    ``cull_ref`` is the flattened [chunk culls (6*k_ch) | super culls
+    (6*k_sup)] SMEM table; ``k_ch`` chunks must be a SUPER multiple."""
+    k_sup = k_ch // SUPER
+    am = alive > 0.5
+    tlo_x = jnp.min(jnp.where(am, rv.ox, BIG))
+    tlo_y = jnp.min(jnp.where(am, rv.oy, BIG))
+    tlo_z = jnp.min(jnp.where(am, rv.oz, BIG))
+    thi_x = jnp.max(jnp.where(am, rv.ox, -BIG))
+    thi_y = jnp.max(jnp.where(am, rv.oy, -BIG))
+    thi_z = jnp.max(jnp.where(am, rv.oz, -BIG))
+    d_len = jnp.sqrt(rv.a)                                    # (T,1)
+    sbase = 6 * k_ch
+
+    def cond(state):
+        pos, done = state[0], state[1]
+        return (pos < k_sup) & (done == 0)
+
+    def body(state):
+        pos, _, nbod, c0, c1, c2, c3 = state
+        word = order_ref[tile * w_words + pos // 4]
+        sidx = (word >> (8 * (pos % 4))) & 0xFF
+        lox = cull_ref[sbase + sidx]
+        loy = cull_ref[sbase + k_sup + sidx]
+        loz = cull_ref[sbase + 2 * k_sup + sidx]
+        hix = cull_ref[sbase + 3 * k_sup + sidx]
+        hiy = cull_ref[sbase + 4 * k_sup + sidx]
+        hiz = cull_ref[sbase + 5 * k_sup + sidx]
+        gx = jnp.maximum(jnp.maximum(lox - thi_x, tlo_x - hix), 0.0)
+        gy = jnp.maximum(jnp.maximum(loy - thi_y, tlo_y - hiy), 0.0)
+        gz = jnp.maximum(jnp.maximum(loz - thi_z, tlo_z - hiz), 0.0)
+        g2 = gx * gx + gy * gy + gz * gz
+        # remaining reach: a lane can only hit within t <= best_t, i.e.
+        # within best_t*|d| of its origin (>= gap for any chunk point).
+        # 1e-3 relative slack absorbs the f32 rounding between this g2
+        # and the squared reach (the gap itself matches the XLA order
+        # exactly — see _tile_chunk_order)
+        reach = jnp.max(jnp.where(am, c0 * d_len, 0.0))
+        done_now = g2 > reach * reach * 1.001 + 1e-9
+        carry = (c0, c1, c2, c3)
+
+        def run(state, sidx=sidx):
+            nbod, c = state[0], state[1:]
+            slab_super = _tile_slab_any_vals(
+                rv, lox, loy, loz, hix, hiy, hiz, c[0])
+
+            def super_body(state):
+                nbod, c = state[0], state[1:]
+                for m in range(SUPER):
+                    idx = sidx * SUPER + m
+                    mlox = cull_ref[idx]
+                    mloy = cull_ref[k_ch + idx]
+                    mloz = cull_ref[2 * k_ch + idx]
+                    mhix = cull_ref[3 * k_ch + idx]
+                    mhiy = cull_ref[4 * k_ch + idx]
+                    mhiz = cull_ref[5 * k_ch + idx]
+                    slab = _tile_slab_any_vals(
+                        rv, mlox, mloy, mloz, mhix, mhiy, mhiz, c[0])
+
+                    def chunk_body(c, idx=idx):
+                        j0 = pl.multiple_of(idx * chunk, chunk)
+                        return _sphere_chunk_fold(
+                            c, rv, sph_ref[:, pl.ds(j0, chunk)],
+                            (idx * chunk).astype(jnp.float32))
+
+                    c = jax.lax.cond(slab, chunk_body, lambda c: c, c)
+                    nbod = nbod + slab.astype(jnp.int32)
+                return (nbod,) + c
+
+            return jax.lax.cond(slab_super, super_body, lambda s: s,
+                                (nbod,) + c)
+
+        state = jax.lax.cond(done_now, lambda s: s, run, (nbod,) + carry)
+        return (pos + 1, done_now.astype(jnp.int32)) + state
+
+    state = (jnp.int32(0), jnp.int32(0), jnp.int32(0)) + carry
+    state = jax.lax.while_loop(cond, body, state)
+    # (carry, supers_walked, chunk_bodies_run) — the counters feed the
+    # stats outputs of the debug path (ORDER_STATS) and fold away otherwise
+    return state[3:], state[0], state[2]
+
+
+def _tile_slab_any_vals(rv: RayVals, lox, loy, loz, hix, hiy, hiz, best_t):
+    """_tile_slab_any against explicit AABB scalars (ordered walk reads
+    them from SMEM; the static walk reads VMEM rows at static indices)."""
+    t0x = (lox - rv.ox) * rv.inv_dx
+    t1x = (hix - rv.ox) * rv.inv_dx
+    t0y = (loy - rv.oy) * rv.inv_dy
+    t1y = (hiy - rv.oy) * rv.inv_dy
+    t0z = (loz - rv.oz) * rv.inv_dz
+    t1z = (hiz - rv.oz) * rv.inv_dz
+    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+    leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z),
+                                    jnp.minimum(best_t, rv.tmax)))
+    return jnp.any(enter <= leave)
 
 
 def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
@@ -580,6 +757,38 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     finish_carry(carry, t_out, ty_out, ix_out, data_out)
 
 
+def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
+                            tmax_ref, alive_ref, sph_ref, rect_ref, tri_ref,
+                            tcull_ref, t_out, ty_out, ix_out, data_out,
+                            *stats_out, n_rect: int, n_tri: int,
+                            w_words: int, k_ch: int, chunk: int):
+    """Ordered-walk twin of _closest_kernel: the sphere stage runs the
+    per-tile dynamic near-to-far chunk walk instead of the static scan.
+    With ORDER_STATS, two extra outputs carry the per-tile walk length and
+    chunk-body count (broadcast across the tile's lanes)."""
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    alive = alive_ref[:]
+    any_alive = jnp.any(alive > 0.5)
+    tile = pl.program_id(0)
+
+    def live(state):
+        carry, _, _ = state
+        carry, walked, nbod = sphere_stage_ordered(
+            carry, rv, alive, sph_ref, order_ref, cullf_ref, tile,
+            w_words=w_words, k_ch=k_ch, chunk=chunk)
+        carry = rect_stage(carry, rv, rect_ref, n_rect)
+        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
+        return carry, walked, nbod
+
+    z = jnp.int32(0)
+    carry, walked, nbod = jax.lax.cond(
+        any_alive, live, lambda s: s, (init_carry(rv), z, z))
+    finish_carry(carry, t_out, ty_out, ix_out, data_out)
+    if stats_out:
+        stats_out[0][:] = jnp.full((t_out.shape[0], 1), walked, jnp.int32)
+        stats_out[1][:] = jnp.full((t_out.shape[0], 1), nbod, jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
 def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
@@ -593,9 +802,25 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
         tmin = jnp.pad(tmin, [(0, pad)])
         tmax = jnp.pad(tmax, [(0, pad)])
         alive = jnp.pad(alive, [(0, pad)])   # pad lanes are dead
+    alive = alive.astype(jnp.float32)
+
+    sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
+    k_ch = cull.shape[1]
+    k_sup = k_ch // SUPER
+    n_tiles = n_pad // TILE
+    ordered = (k_ch >= ORDER_MIN_CHUNKS
+               and k_ch % SUPER == 0 and k_sup <= ORDER_MAX_CHUNKS
+               and n_sph == k_ch * sph_chunk
+               and scull.shape[1] == k_sup
+               and n_tiles * (-(-k_sup // 4)) * 4 <= ORDER_SMEM_BUDGET)
+    if ordered:
+        return _call_kernel_ordered(
+            o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
+            n_rect=n_rect, n_tri=n_tri, k_ch=k_ch, chunk=sph_chunk,
+            interpret=interpret, n=n)
     tmin = tmin[:, None]
     tmax = tmax[:, None]
-    alive = alive.astype(jnp.float32)[:, None]
+    alive = alive[:, None]
 
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
@@ -636,10 +861,63 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
         interpret=interpret,
     )(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull)
     t = t[:n, 0]
-    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n],
+            None)
+
+
+def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
+                         tcull, scull, *, n_rect, n_tri, k_ch, chunk,
+                         interpret, n):
+    """Ordered-walk pallas call (inputs pre-padded to a TILE multiple).
+    The per-tile superchunk order + the flattened chunk+super cull tables
+    ride scalar prefetch into SMEM; sphere work is bounded by chunks a
+    tile can actually reach instead of the whole table."""
+    n_pad = o.shape[0]
+    words, w_words = _tile_chunk_order(o, alive, scull)
+    tmin = tmin[:, None]
+    tmax = tmax[:, None]
+    alive = alive[:, None]
+
+    grid = (n_pad // TILE,)
+    kernel = functools.partial(_closest_kernel_ordered, n_rect=n_rect,
+                               n_tri=n_tri, w_words=w_words, k_ch=k_ch,
+                               chunk=chunk)
+    # cost model: a tile visits a handful of chunks after the first bounce;
+    # charge ~1/8 of the dense sphere scan plus the full rect/tri stages
+    flops_per_ray = 40 * k_ch * chunk // 8 + 60 * n_rect + 80 * n_tri
+    rs = lambda w: pl.BlockSpec((TILE, w), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+    n_stats = 2 if ORDER_STATS else 0
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[rs(3), rs(3), rs(1), rs(1), rs(1)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=[rs(1), rs(1), rs(1), rs(N_SLOTS)]
+            + [rs(1)] * n_stats),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, N_SLOTS), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)] * n_stats,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
+            transcendentals=n_pad * chunk),
+        interpret=interpret,
+    )(words, jnp.concatenate([cull.reshape(-1), scull.reshape(-1)]),
+      o, d, tmin, tmax, alive, sph, rect, tri, tcull)
+    t, ty, ix, data = out[:4]
+    stats = (tuple(s[::TILE, 0] for s in out[4:]) if n_stats else None)
+    t = t[:n, 0]
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n],
+            stats)
 
 
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
+    global _last_order_stats
     sph, rect, tri, cull, tcull, scull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -650,12 +928,15 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     interpret = jax.default_backend() != "tpu"
     # empty tables are padded to one dummy always-miss chunk; skip their
     # stages entirely (a dummy chunk costs as much as a real one)
-    return _call_kernel(
+    t, ty, ix, data, stats = _call_kernel(
         o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
         interpret=interpret)
+    if stats is not None:
+        _last_order_stats = stats
+    return t, ty, ix, data
 
 
 def intersect_pallas(scene: Scene, o, d, t_min, t_max, alive=None) -> Hit:

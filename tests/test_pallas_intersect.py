@@ -73,3 +73,36 @@ def test_pallas_respects_tmax():
     d = jnp.array([[0.0, 0, -1]], jnp.float32)
     h = intersect_pallas(scene, o, d, 1e-3, 1.5)  # hit is at t=2
     assert np.isinf(np.asarray(h.t))[0]
+
+
+def test_ordered_walk_matches_static_and_brute():
+    """Large sphere tables route through the per-tile ordered superchunk
+    walk (pallas_intersect.sphere_stage_ordered). Its winners must be
+    bit-identical to the static two-level scan and agree with the XLA
+    brute force — including lanes marked dead and grazing tmax cases."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.scene.builtin import sphere_field
+
+    scene = sphere_field(20000)
+    rng = np.random.default_rng(7)
+    n = 768
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    alive = jnp.asarray((rng.uniform(size=n) > 0.15), jnp.float32)
+
+    assert pi.ORDER_MIN_CHUNKS <= 20000 // pi.SPH_CHUNK  # ordered route on
+    h_ord = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    check_agreement(scene, o, d)
+
+    old = pi.ORDER_MIN_CHUNKS
+    pi.ORDER_MIN_CHUNKS = 10 ** 9
+    pi._call_kernel._clear_cache()
+    try:
+        h_st = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    finally:
+        pi.ORDER_MIN_CHUNKS = old
+        pi._call_kernel._clear_cache()
+    a = np.asarray(alive) > 0.5
+    t1, t2 = np.asarray(h_ord.t)[a], np.asarray(h_st.t)[a]
+    assert ((t1 == t2) | (np.isinf(t1) & np.isinf(t2))).all()
+    assert (np.asarray(h_ord.prim_idx)[a] == np.asarray(h_st.prim_idx)[a]).all()
