@@ -209,15 +209,18 @@ def _photon_maps(scene: Scene, k_ph, *, n_photons, max_photon_bounces,
     the (P,3) deposit arrays never materialize; the grid path keeps the
     PhotonGrid pytree."""
     if _soa_eligible(scene, intersector):
-        # SoA photon pass (no (bounces, N, 3) tiled scan stacks), stacked
-        # to (P,3) only at the grid boundary — measured 317+2x165 ms vs the
-        # AoS 434+2x269 ms at 250k photons (plane-packing from components
-        # was tried and measured WORSE: nine flat (P,) sort-gathers lose to
-        # build_grid's three (P,3) row gathers, 673 vs 165 ms)
+        # SoA photon pass with path REGENERATION (dead lanes emit the next
+        # photon from the budget): ~2x fewer deposit slots for the grid
+        # builds to sort AND fuller kernel steps vs the plain
+        # n_photons x max_bounces scan (see trace_photon_deposits_regen_soa;
+        # round-3 SPPM breakdown: photon 456 ms + grids 571 ms of a 1.2 s
+        # iteration at 800x800/500k). Components stack to (P,3) only at the
+        # grid boundary (plane-packing from components was measured WORSE:
+        # nine flat (P,) sort-gathers lose to three (P,3) row gathers).
         from raytracer_tpu.models.wavefront_soa import (
-            trace_photon_deposits_soa)
+            trace_photon_deposits_regen_soa)
         from raytracer_tpu.ops.dispatch import _resolve
-        comps = trace_photon_deposits_soa(
+        comps = trace_photon_deposits_regen_soa(
             scene, k_ph, n_photons, max_photon_bounces, photon_t_min,
             spawn_eps, _resolve(scene, intersector))
         (px, py, pz, wr, wg, wb, nx, ny, nz, valid, caustic) = comps

@@ -824,6 +824,172 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
             jnp.stack([s[15], s[16], s[17]], -1))
 
 
+def emit_photons_soa(lights, key, n: int):
+    """Component-wise ops/lights.py::emit_photons (light.rs:98-103,158-166,
+    220-225 semantics): categorical power-weighted light pick, surface-point
+    emission, hemisphere direction (cosine-weighted power for rect lights).
+    Same draw structure as the AoS version; no (N,3) stacks. Returns 9 (N,)
+    components (ox, oy, oz, dx, dy, dz, wr, wg, wb) — the emission normal is
+    not returned (deposits store the *hit* normal, photon_mapper.rs:248)."""
+    from raytracer_tpu.scene.types import LIGHT_SPHERE
+    k_pick, k_sphere, k_hemi, k_uv = jax.random.split(key, 4)
+    idx = jax.random.categorical(k_pick, lights.log_prob, shape=(n,))
+    kind = lights.kind[idx]
+    p0x, p0y, p0z = (lights.p0[:, 0][idx], lights.p0[:, 1][idx],
+                     lights.p0[:, 2][idx])
+    p1x, p1z = lights.p1[:, 0][idx], lights.p1[:, 2][idx]
+    r0 = lights.r0[idx]
+    sc_ = lights.scale[idx]
+    bwr = lights.flux[:, 0][idx] * sc_
+    bwg = lights.flux[:, 1][idx] * sc_
+    bwb = lights.flux[:, 2][idx] * sc_
+
+    # sphere lights: uniform surface normal, origin = center + n*(r+eps)
+    snx, sny, snz = _uniform_sphere(k_sphere, n)
+    sox = p0x + snx * (r0 + 1e-4)
+    soy = p0y + sny * (r0 + 1e-4)
+    soz = p0z + snz * (r0 + 1e-4)
+
+    # xz-rect lights: area point, downward normal
+    uv = jax.random.uniform(k_uv, (n, 2))
+    rox = p0x + (p1x - p0x) * uv[:, 0]
+    roz = p0z + (p1z - p0z) * uv[:, 1]
+
+    is_sph = kind == LIGHT_SPHERE
+    nx = jnp.where(is_sph, snx, 0.0)
+    ny = jnp.where(is_sph, sny, -1.0)
+    nz = jnp.where(is_sph, snz, 0.0)
+    ox = jnp.where(is_sph, sox, rox)
+    oy = jnp.where(is_sph, soy, p0y)
+    oz = jnp.where(is_sph, soz, roz)
+    # one hemisphere draw around the selected normal serves both kinds
+    hx, hy, hz = _uniform_sphere(k_hemi, n)
+    sgn = jnp.where(hx * nx + hy * ny + hz * nz > 0.0, 1.0, -1.0)
+    dx, dy, dz = hx * sgn, hy * sgn, hz * sgn
+    cos_term = jnp.maximum(-dy, 0.0)  # dot(down, w)
+    w_scale = jnp.where(is_sph, 1.0, cos_term)
+    return ox, oy, oz, dx, dy, dz, bwr * w_scale, bwg * w_scale, bwb * w_scale
+
+
+def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
+                                    max_bounces: int, t_min: float,
+                                    spawn_eps, intersector: str,
+                                    lanes: int = 131072,
+                                    return_spawned: bool = False):
+    """Path-REGENERATION photon pass (the trace_photon_deposits_soa twin of
+    render_regen_soa): a fixed wavefront of ``min(lanes, n_photons)`` lanes
+    traces photons; when a photon dies (RR absorb, miss, or the
+    ``max_bounces`` per-path cap) its lane immediately emits the NEXT photon
+    from a global spawn budget of ``n_photons``. Two structural wins over
+    the plain scan (500k lanes x 16 steps at Cornell scale):
+
+    - the deposit buffer shrinks ~2x (steps*lanes ~ 3.7M slots vs 8M), so
+      the grid builds' argsort+gathers halve;
+    - dead lanes do the next photon's work instead of idling (the photon
+      RR kills ~40%/bounce, so plain-scan occupancy collapses after 2-3
+      steps) — fewer, fuller kernel steps.
+
+    Budgeting: a per-step prefix sum over the retire mask admits exactly
+    ``n_photons`` spawns; spawning stops ``max_bounces`` steps before the
+    static step count S so every admitted photon gets its full bounce
+    allowance, then the wavefront drains. If the spawn window closes before
+    the budget is used (pathologically long mean path length), the deposit
+    powers are scaled by n_photons/actual — exactly unbiased, since photon
+    flux normalization divides by the NOMINAL count downstream
+    (photon_mapper.rs:117-119 divides by photon_per_iter * iters).
+
+    Per-photon semantics are IDENTICAL to trace_photon_deposits_soa
+    (scatter + RR renormalization material.rs:27-45, deposit-before-
+    renormalize photon_mapper.rs:248, caustic = first-diffuse-after-
+    specular-only prefix photon_mapper.rs:249-251); only the threefry
+    stream assignment differs (each photon draws from the step-indexed
+    keys of the steps it occupies).
+
+    Returns the same 11 flat component arrays, of length S*lanes."""
+    B = int(n_photons)
+    L = min(B, int(lanes))
+    # spawn-rate model: ~L/E[len] retire per step (E[len] ~ 2.5 with RR);
+    # 4x(B-L)/L steps admits the remaining budget with ~1.6x margin
+    window = 0 if B <= L else -(-4 * (B - L) // L)
+    S = window + max_bounces
+    fused = use_fused(scene, intersector)
+    k_emit = jax.random.fold_in(key, 29)
+
+    def emit(step_i):
+        return emit_photons_soa(scene.lights,
+                                jax.random.fold_in(k_emit, step_i), L)
+
+    def step(s, _):
+        (step_i, ox, oy, oz, dx, dy, dz, wr, wg, wb,
+         alive, has_spec, has_diff, depth, counter) = s
+        k = jax.random.fold_in(jax.random.fold_in(key, 13), step_i)
+        k_scatter, k_rr = jax.random.split(k)
+        b = bounce_step(scene, k_scatter, ox, oy, oz, dx, dy, dz, alive,
+                        t_min=t_min, spawn_eps=spawn_eps,
+                        intersector=intersector, fused=fused)
+        # photon Russian roulette with power renormalization
+        # (material.rs:27-45)
+        hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))
+        survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
+        inter = jnp.where(survive, b.inter, INTER_ABSORB).astype(jnp.int32)
+        inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
+
+        diffuse_now = alive & (inter == INTER_DIFFUSE)
+        deposit = (b.px, b.py, b.pz, wr, wg, wb, b.nx, b.ny, b.nz,
+                   diffuse_now, diffuse_now & has_spec & ~has_diff)
+
+        cont = alive & (inter != INTER_ABSORB)
+        depth2 = depth + 1
+        cont = cont & (depth2 < max_bounces)  # per-path cap, not scan length
+        specular_now = cont & ~diffuse_now
+
+        retire = alive & ~cont
+        can_spawn = step_i < window
+        rank = jnp.cumsum(retire.astype(jnp.int32))
+        spawn = retire & can_spawn & (counter + rank <= B)
+        counter2 = counter + jnp.where(can_spawn,
+                                       jnp.minimum(rank[-1], B - counter), 0)
+
+        eox, eoy, eoz, edx, edy, edz, ewr, ewg, ewb = emit(step_i + 1)
+
+        def sel(fresh, advanced, old):
+            return jnp.where(spawn, fresh, jnp.where(cont, advanced, old))
+
+        ox2 = sel(eox, b.nox, ox)
+        oy2 = sel(eoy, b.noy, oy)
+        oz2 = sel(eoz, b.noz, oz)
+        dx2 = sel(edx, b.ndx, dx)
+        dy2 = sel(edy, b.ndy, dy)
+        dz2 = sel(edz, b.ndz, dz)
+        wr2 = sel(ewr, wr * jnp.where(survive, b.ar * inv_h, 1.0), wr)
+        wg2 = sel(ewg, wg * jnp.where(survive, b.ag * inv_h, 1.0), wg)
+        wb2 = sel(ewb, wb * jnp.where(survive, b.ab * inv_h, 1.0), wb)
+        has_spec2 = (has_spec | specular_now) & ~spawn
+        has_diff2 = (has_diff | diffuse_now) & ~spawn
+        depth3 = jnp.where(spawn, 0, depth2)
+        alive2 = (alive & cont) | spawn
+        return ((step_i + 1, ox2, oy2, oz2, dx2, dy2, dz2, wr2, wg2, wb2,
+                 alive2, has_spec2, has_diff2, depth3, counter2), deposit)
+
+    eox, eoy, eoz, edx, edy, edz, ewr, ewg, ewb = emit(0)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    alive0 = lane < B
+    init = (jnp.int32(0), eox, eoy, eoz, edx, edy, edz, ewr, ewg, ewb,
+            alive0, jnp.zeros_like(alive0), jnp.zeros_like(alive0),
+            jnp.zeros_like(lane), jnp.int32(min(L, B)))
+    final, dep = jax.lax.scan(step, init, None, length=S)
+    spawned = final[14]
+    # window-closed-early correction (no-op when the budget was used)
+    scale = jnp.float32(B) / jnp.maximum(spawned, 1).astype(jnp.float32)
+    flat = [a.reshape(-1) for a in dep]
+    flat[3] = flat[3] * scale
+    flat[4] = flat[4] * scale
+    flat[5] = flat[5] * scale
+    if return_spawned:
+        return tuple(flat), spawned
+    return tuple(flat)
+
+
 def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
                               max_bounces: int, t_min: float, spawn_eps,
                               intersector: str):

@@ -72,3 +72,62 @@ def test_sppm_resume_from_state(key):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_emit_photons_soa_matches_aos(key):
+    """Component-wise emission must reproduce the AoS draws exactly (same
+    threefry split structure)."""
+    from raytracer_tpu.models.wavefront_soa import emit_photons_soa
+    from raytracer_tpu.ops.lights import emit_photons
+    scene = cornell_box(with_mesh=False)
+    ph = emit_photons(scene.lights, key, 512)
+    ox, oy, oz, dx, dy, dz, wr, wg, wb = emit_photons_soa(
+        scene.lights, key, 512)
+    np.testing.assert_allclose(np.asarray(ph.origin),
+                               np.stack([ox, oy, oz], -1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph.dir),
+                               np.stack([dx, dy, dz], -1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph.power),
+                               np.stack([wr, wg, wb], -1), rtol=1e-6)
+
+
+def test_photon_regen_flux_matches_plain(key):
+    """The regenerating photon pass is a different (but unbiased) stream
+    assignment over the same per-photon process: total deposited flux and
+    deposit counts must agree with the plain scan within MC tolerance, and
+    the spawn budget must be met exactly."""
+    from raytracer_tpu.models.wavefront_soa import (
+        trace_photon_deposits_regen_soa, trace_photon_deposits_soa)
+    scene = cornell_box(with_mesh=False)
+    B, MB = 20000, 8
+    eps = 1e-4 * float(scene.scale)
+    plain = trace_photon_deposits_soa(scene, key, B, MB, 1e-4, eps, "pallas")
+    (rg, spawned) = trace_photon_deposits_regen_soa(
+        scene, jax.random.fold_in(key, 1), B, MB, 1e-4, eps, "pallas",
+        lanes=4096, return_spawned=True)  # lanes << B -> exercises budget
+    assert int(spawned) == B
+    def tot(c):
+        v = np.asarray(c[9])
+        flux = np.stack([np.asarray(c[3]), np.asarray(c[4]),
+                         np.asarray(c[5])], -1)[v]
+        return flux.sum(0), v.sum(), np.asarray(c[10])[v].sum()
+    f_p, n_p, c_p = tot(plain)
+    f_r, n_r, c_r = tot(rg)
+    assert abs(n_r - n_p) / n_p < 0.05           # deposit count
+    np.testing.assert_allclose(f_r, f_p, rtol=0.05)   # total flux
+    assert c_r <= B and c_p <= B                  # caustic <= one per path
+    assert abs(c_r - c_p) / max(c_p, 1) < 0.25    # caustic count (small N)
+
+
+def test_photon_regen_budget_respected(key):
+    """With a window too small to spend the budget, the power correction
+    must rescale deposits so expected total flux is preserved."""
+    from raytracer_tpu.models.wavefront_soa import (
+        trace_photon_deposits_regen_soa)
+    scene = cornell_box(with_mesh=False)
+    eps = 1e-4 * float(scene.scale)
+    comps, spawned = trace_photon_deposits_regen_soa(
+        scene, key, 8000, 6, 1e-4, eps, "pallas", lanes=8000,
+        return_spawned=True)
+    assert int(spawned) == 8000          # B <= lanes: all spawn at init
+    assert np.asarray(comps[9]).sum() > 0
