@@ -39,7 +39,7 @@ def main():
 
     width, height = 800, 600
     spp_timed = 32          # timed sample count (steady-state throughput)
-    spp_chunk = 2
+    spp_chunk = 1
 
     scene = load_scene("data/scene_500.json", aspect_ratio=width / height)
     lscene = with_leaf_tables(scene)

@@ -498,6 +498,32 @@ def camera_rays_soa(cam, key, px, py, width: int, height: int):
     return ox, oy, oz, dx, dy, dz
 
 
+# Drain compaction cascade (render_regen_soa / gather_regen_soa): each time
+# the live lane count falls below half the current wavefront width, the
+# survivors are compacted ONCE per level (an alive-first argsort + gather
+# OUTSIDE the hot loop — not the in-loop scatter that was
+# measured-and-rejected 3x) into a half-width wavefront, down to a
+# DRAIN_MIN_LANES floor. Rationale (measured, round 3): the regen loop runs
+# to the SLOWEST lane's step count (worst case samples_per_lane * max_depth
+# — 512 steps at scene_500 32spp no-RR, occupancy 0.40), and every drain
+# step still pays the fixed full-wavefront XLA shade cost over all n lanes;
+# a single 1/8 compaction recovered RR 3.52 -> 2.70 s but left the slow
+# phase-1 decay, hence the cascade. Exactly unbiased: pure state
+# reorganization, every sample completes under the identical per-sample
+# law; only the threefry stream assignment of post-compaction draws
+# changes.
+DRAIN_MIN_LANES = 32768
+
+
+def _drain_sizes(n: int):
+    """Cascade level widths: n, n/2, ..., floor (256-aligned)."""
+    sizes = [n]
+    while sizes[-1] > DRAIN_MIN_LANES:
+        sizes.append(max(DRAIN_MIN_LANES,
+                         -(-(sizes[-1] // 2) // 256) * 256))
+    return sizes
+
+
 def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                      lanes_per_pixel: int, samples_per_lane: int,
                      max_depth: int, t_min: float, spawn_eps,
@@ -514,12 +540,14 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     This replaces render_fn's fori_loop of fixed-depth wavefronts, whose
     occupancy decayed ~2.2x by depth 16 (and far worse at the reference's
     depth-50 cap, photon_mapper.rs:334) — dead lanes now do the next
-    sample's work instead of idling. Estimator semantics are IDENTICAL to
-    trace_radiance_soa per sample (emit at every hit, RR after bounce 3,
-    per-sample depth cap; camera.rs:91-101's per-pixel independent samples
-    are exactly what regeneration preserves); only the (deterministic)
-    threefry stream assignment differs, as each regenerated sample draws
-    from the step-indexed keys of the steps it happens to occupy.
+    sample's work instead of idling; the straggler drain is finished in a
+    compacted small wavefront (see DRAIN_DIV above). Estimator semantics
+    are IDENTICAL to trace_radiance_soa per sample (emit at every hit, RR
+    after bounce 3, per-sample depth cap; camera.rs:91-101's per-pixel
+    independent samples are exactly what regeneration preserves); only the
+    (deterministic) threefry stream assignment differs, as each regenerated
+    sample draws from the step-indexed keys of the steps it happens to
+    occupy.
 
     Returns ((npix, 3) radiance SUM over all samples, rays traced,
     loop steps executed)."""
@@ -528,85 +556,84 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     fused = use_fused(scene, intersector)
     perm, inv = block_order(width, height)
     pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
     quota = jnp.int32(samples_per_lane)
 
-    def cond(s):
-        return jnp.any(s[16])
+    def make_body(px_, py_, nl):
+        def body(s):
+            (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
+             ar, ag, ab, alive, depth, done, prev_diff, rays) = s
+            k = jax.random.fold_in(key, step)
+            b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                            t_min=t_min, spawn_eps=spawn_eps,
+                            intersector=intersector, fused=fused)
 
-    def body(s):
-        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
-         ar, ag, ab, alive, depth, done, prev_diff, rays) = s
-        k = jax.random.fold_in(key, step)
-        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
-                        t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+            emit_ok = alive & ~prev_diff
+            sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)
+            sg = sg + jnp.where(emit_ok, tg * b.eg, 0.0)
+            sb = sb + jnp.where(emit_ok, tb * b.eb, 0.0)
 
-        emit_ok = alive & ~prev_diff
-        sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)
-        sg = sg + jnp.where(emit_ok, tg * b.eg, 0.0)
-        sb = sb + jnp.where(emit_ok, tb * b.eb, 0.0)
+            diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+            if nee:
+                from raytracer_tpu.ops.nee import direct_light
+                p3 = jnp.stack([b.px, b.py, b.pz], -1)
+                n3 = jnp.stack([b.nx, b.ny, b.nz], -1)
+                a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
+                dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3,
+                                  a3, diffuse_now, intersector=intersector,
+                                  alive=alive)
+                sr = sr + jnp.where(diffuse_now, tr * dl[:, 0], 0.0)
+                sg = sg + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
+                sb = sb + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
 
-        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
-        if nee:
-            from raytracer_tpu.ops.nee import direct_light
-            p3 = jnp.stack([b.px, b.py, b.pz], -1)
-            n3 = jnp.stack([b.nx, b.ny, b.nz], -1)
-            a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
-            dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3, a3,
-                              diffuse_now, intersector=intersector,
-                              alive=alive)
-            sr = sr + jnp.where(diffuse_now, tr * dl[:, 0], 0.0)
-            sg = sg + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
-            sb = sb + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
+            cont = alive & (b.inter != INTER_ABSORB)
+            tr2 = jnp.where(cont, tr * b.ar, tr)
+            tg2 = jnp.where(cont, tg * b.ag, tg)
+            tb2 = jnp.where(cont, tb * b.ab, tb)
+            if russian_roulette:
+                p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
+                                  0.05, 1.0)
+                do_rr = depth >= RR_START_BOUNCE  # per-lane sample depth
+                u = jax.random.uniform(jax.random.fold_in(k, 37), (nl,))
+                survive = ~do_rr | (u < p_surv)
+                scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
+                tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
+                cont = cont & survive
+            depth2 = depth + 1
+            cont = cont & (depth2 < max_depth)
 
-        cont = alive & (b.inter != INTER_ABSORB)
-        tr2 = jnp.where(cont, tr * b.ar, tr)
-        tg2 = jnp.where(cont, tg * b.ag, tg)
-        tb2 = jnp.where(cont, tb * b.ab, tb)
-        if russian_roulette:
-            p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
-                              0.05, 1.0)
-            do_rr = depth >= RR_START_BOUNCE  # per-lane sample depth
-            u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
-            survive = ~do_rr | (u < p_surv)
-            scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
-            tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
-            cont = cont & survive
-        depth2 = depth + 1
-        cont = cont & (depth2 < max_depth)
+            retire = alive & ~cont
+            ar = ar + jnp.where(retire, sr, 0.0)
+            ag = ag + jnp.where(retire, sg, 0.0)
+            ab = ab + jnp.where(retire, sb, 0.0)
+            done2 = done + retire.astype(jnp.int32)
+            regen = retire & (done2 < quota)
 
-        retire = alive & ~cont
-        ar = ar + jnp.where(retire, sr, 0.0)
-        ag = ag + jnp.where(retire, sg, 0.0)
-        ab = ab + jnp.where(retire, sb, 0.0)
-        done2 = done + retire.astype(jnp.int32)
-        regen = retire & (done2 < quota)
+            cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
+                scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7),
+                                                 step + 1),
+                px_, py_, width, height)
+            ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
+            oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
+            oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
+            dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
+            dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
+            dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
+            tr3 = jnp.where(regen, 1.0, tr2)
+            tg3 = jnp.where(regen, 1.0, tg2)
+            tb3 = jnp.where(regen, 1.0, tb2)
+            sr2 = jnp.where(regen, 0.0, sr)
+            sg2 = jnp.where(regen, 0.0, sg)
+            sb2 = jnp.where(regen, 0.0, sb)
+            depth3 = jnp.where(regen, 0, depth2)
+            prev2 = (diffuse_now if nee else prev_diff) & ~regen
+            alive2 = (alive & cont) | regen
+            return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
+                    sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
+                    rays + jnp.sum(alive))
+        return body
 
-        cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
-            scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7),
-                                             step + 1),
-            px, py, width, height)
-        ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
-        oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
-        oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
-        dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
-        dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
-        dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
-        tr3 = jnp.where(regen, 1.0, tr2)
-        tg3 = jnp.where(regen, 1.0, tg2)
-        tb3 = jnp.where(regen, 1.0, tb2)
-        sr2 = jnp.where(regen, 0.0, sr)
-        sg2 = jnp.where(regen, 0.0, sg)
-        sb2 = jnp.where(regen, 0.0, sb)
-        depth3 = jnp.where(regen, 0, depth2)
-        prev2 = (diffuse_now if nee else prev_diff) & ~regen
-        alive2 = (alive & cont) | regen
-        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
-                sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
-                rays + jnp.sum(alive))
-
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
     ox0, oy0, oz0, dx0, dy0, dz0 = camera_rays_soa(
         scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7), 0),
         px, py, width, height)
@@ -618,11 +645,36 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             one, one * 1.0, one * 1.0, zero, zero * 1.0, zero * 1.0,
             zero * 1.0, zero * 1.0, zero * 1.0, alive0, izero,
             izero * 1, ~alive0, jnp.sum(izero))
-    s = jax.lax.while_loop(cond, body, init)
-    accum = jnp.stack([s[13], s[14], s[15]], -1)
-    accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    # undo the block-tiled lane->pixel permutation (static gather)
-    return accum[jnp.asarray(inv)], s[20], s[0]
+
+    sizes = _drain_sizes(n)
+    LANE_STATE = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18, 19)
+    s, cur_px, cur_py, cur_pix = init, px, py, pix
+    tails = []  # (pix_ids, accum (m,3)) per compacted-away level
+    for nxt in sizes[1:]:
+        s = jax.lax.while_loop(lambda s: jnp.sum(s[16]) > nxt,
+                               make_body(cur_px, cur_py, cur_px.shape[0]), s)
+        idx = jnp.argsort(~s[16])[:nxt]
+        if cur_pix is pix:  # level-0 accum keeps its static lane->pixel map
+            lvl0_accum = jnp.stack([s[13], s[14], s[15]], -1)
+        else:
+            tails.append((cur_pix, jnp.stack([s[13], s[14], s[15]], -1)))
+        s = tuple(x[idx] if i in LANE_STATE
+                  else (jnp.zeros((nxt,), jnp.float32) if i in (13, 14, 15)
+                        else x)
+                  for i, x in enumerate(s))
+        cur_px, cur_py, cur_pix = cur_px[idx], cur_py[idx], cur_pix[idx]
+    s = jax.lax.while_loop(lambda s: jnp.any(s[16]),
+                           make_body(cur_px, cur_py, cur_px.shape[0]), s)
+    if cur_pix is pix:
+        accum = jnp.stack([s[13], s[14], s[15]], -1)
+        accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+        return accum[jnp.asarray(inv)], s[20], s[0]
+    tails.append((cur_pix, jnp.stack([s[13], s[14], s[15]], -1)))
+    accum = lvl0_accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+    accum = accum[jnp.asarray(inv)]
+    for t_pix, t_acc in tails:  # one-off scatter-adds, tiny rows
+        accum = accum.at[t_pix].add(t_acc)
+    return accum, s[20], s[0]
 
 
 def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
@@ -641,66 +693,65 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
     fused = use_fused(scene, intersector)
     perm, inv = block_order(width, height)
     pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
+    quota = jnp.int32(samples_per_lane)
+
+    def make_body(px_, py_, er_, eg_, eb_):
+        def body(s):
+            (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
+             ar, ag, ab, alive, depth, done, rays) = s
+            k = jax.random.fold_in(key, step)
+            b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                            t_min=t_min, spawn_eps=spawn_eps,
+                            intersector=intersector, fused=fused)
+            sr = sr + jnp.where(alive, tr * b.er, 0.0)
+            sg = sg + jnp.where(alive, tg * b.eg, 0.0)
+            sb = sb + jnp.where(alive, tb * b.eb, 0.0)
+            diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+            sr = sr + jnp.where(diffuse_now, tr * er_, 0.0)
+            sg = sg + jnp.where(diffuse_now, tg * eg_, 0.0)
+            sb = sb + jnp.where(diffuse_now, tb * eb_, 0.0)
+            cont = alive & ~diffuse_now & (b.inter != INTER_ABSORB)
+            tr2 = jnp.where(cont, tr * b.ar, tr)
+            tg2 = jnp.where(cont, tg * b.ag, tg)
+            tb2 = jnp.where(cont, tb * b.ab, tb)
+            depth2 = depth + 1
+            cont = cont & (depth2 < max_depth)
+
+            retire = alive & ~cont
+            ar = ar + jnp.where(retire, sr, 0.0)
+            ag = ag + jnp.where(retire, sg, 0.0)
+            ab = ab + jnp.where(retire, sb, 0.0)
+            done2 = done + retire.astype(jnp.int32)
+            regen = retire & (done2 < quota)
+
+            cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
+                scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17),
+                                                 step + 1),
+                px_, py_, width, height)
+            ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
+            oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
+            oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
+            dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
+            dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
+            dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
+            tr3 = jnp.where(regen, 1.0, tr2)
+            tg3 = jnp.where(regen, 1.0, tg2)
+            tb3 = jnp.where(regen, 1.0, tb2)
+            sr2 = jnp.where(regen, 0.0, sr)
+            sg2 = jnp.where(regen, 0.0, sg)
+            sb2 = jnp.where(regen, 0.0, sb)
+            depth3 = jnp.where(regen, 0, depth2)
+            alive2 = (alive & cont) | regen
+            return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
+                    sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2,
+                    rays + jnp.sum(alive))
+        return body
+
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     er_ = est[:, 0][pix]
     eg_ = est[:, 1][pix]
     eb_ = est[:, 2][pix]
-    quota = jnp.int32(samples_per_lane)
-
-    def cond(s):
-        return jnp.any(s[16])
-
-    def body(s):
-        (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
-         ar, ag, ab, alive, depth, done, rays) = s
-        k = jax.random.fold_in(key, step)
-        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
-                        t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
-        sr = sr + jnp.where(alive, tr * b.er, 0.0)
-        sg = sg + jnp.where(alive, tg * b.eg, 0.0)
-        sb = sb + jnp.where(alive, tb * b.eb, 0.0)
-        diffuse_now = alive & (b.inter == INTER_DIFFUSE)
-        sr = sr + jnp.where(diffuse_now, tr * er_, 0.0)
-        sg = sg + jnp.where(diffuse_now, tg * eg_, 0.0)
-        sb = sb + jnp.where(diffuse_now, tb * eb_, 0.0)
-        cont = alive & ~diffuse_now & (b.inter != INTER_ABSORB)
-        tr2 = jnp.where(cont, tr * b.ar, tr)
-        tg2 = jnp.where(cont, tg * b.ag, tg)
-        tb2 = jnp.where(cont, tb * b.ab, tb)
-        depth2 = depth + 1
-        cont = cont & (depth2 < max_depth)
-
-        retire = alive & ~cont
-        ar = ar + jnp.where(retire, sr, 0.0)
-        ag = ag + jnp.where(retire, sg, 0.0)
-        ab = ab + jnp.where(retire, sb, 0.0)
-        done2 = done + retire.astype(jnp.int32)
-        regen = retire & (done2 < quota)
-
-        cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
-            scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17),
-                                             step + 1),
-            px, py, width, height)
-        ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
-        oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
-        oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
-        dx2 = jnp.where(regen, cdx, jnp.where(cont, b.ndx, dx))
-        dy2 = jnp.where(regen, cdy, jnp.where(cont, b.ndy, dy))
-        dz2 = jnp.where(regen, cdz, jnp.where(cont, b.ndz, dz))
-        tr3 = jnp.where(regen, 1.0, tr2)
-        tg3 = jnp.where(regen, 1.0, tg2)
-        tb3 = jnp.where(regen, 1.0, tb2)
-        sr2 = jnp.where(regen, 0.0, sr)
-        sg2 = jnp.where(regen, 0.0, sg)
-        sb2 = jnp.where(regen, 0.0, sb)
-        depth3 = jnp.where(regen, 0, depth2)
-        alive2 = (alive & cont) | regen
-        return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
-                sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2,
-                rays + jnp.sum(alive))
-
     ox0, oy0, oz0, dx0, dy0, dz0 = camera_rays_soa(
         scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17), 0),
         px, py, width, height)
@@ -712,11 +763,35 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
             one, one * 1.0, one * 1.0, zero, zero * 1.0, zero * 1.0,
             zero * 1.0, zero * 1.0, zero * 1.0, alive0, izero,
             izero * 1, jnp.sum(izero))
-    s = jax.lax.while_loop(cond, body, init)
-    accum = jnp.stack([s[13], s[14], s[15]], -1)
-    accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    # undo the block-tiled lane->pixel permutation (static gather)
-    return accum[jnp.asarray(inv)], s[19], s[0]
+
+    sizes = _drain_sizes(n)
+    LANE_STATE = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18)
+    s, cur = init, (px, py, er_, eg_, eb_, pix)
+    tails = []
+    for nxt in sizes[1:]:
+        s = jax.lax.while_loop(lambda s: jnp.sum(s[16]) > nxt,
+                               make_body(*cur[:5]), s)
+        idx = jnp.argsort(~s[16])[:nxt]
+        if cur[5] is pix:  # level-0 accum keeps its static lane->pixel map
+            lvl0_accum = jnp.stack([s[13], s[14], s[15]], -1)
+        else:
+            tails.append((cur[5], jnp.stack([s[13], s[14], s[15]], -1)))
+        s = tuple(x[idx] if i in LANE_STATE
+                  else (jnp.zeros((nxt,), jnp.float32) if i in (13, 14, 15)
+                        else x)
+                  for i, x in enumerate(s))
+        cur = tuple(a[idx] for a in cur)
+    s = jax.lax.while_loop(lambda s: jnp.any(s[16]), make_body(*cur[:5]), s)
+    if cur[5] is pix:
+        accum = jnp.stack([s[13], s[14], s[15]], -1)
+        accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+        return accum[jnp.asarray(inv)], s[19], s[0]
+    tails.append((cur[5], jnp.stack([s[13], s[14], s[15]], -1)))
+    accum = lvl0_accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
+    accum = accum[jnp.asarray(inv)]
+    for t_pix, t_acc in tails:
+        accum = accum.at[t_pix].add(t_acc)
+    return accum, s[19], s[0]
 
 
 def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,

@@ -169,3 +169,54 @@ def test_fused_render_matches_unfused_render():
     assert int(rays_f) == int(rays_u)
     np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_regen_drain_compaction_unbiased(key):
+    """The two-phase drain (one-shot compaction of straggler lanes into a
+    small wavefront) is a pure state reorganization: phase-1 streams are
+    identical to the single-loop path up to the compaction point, every
+    sample completes under the same law, and the per-pixel sums must agree
+    with the single-loop render within MC tolerance. Also: determinism and
+    exact per-pixel sample accounting (rays > 0, finite)."""
+    from raytracer_tpu.models import wavefront_soa as ws
+    scene = three_spheres(1.0)
+    kw = dict(width=24, height=16, lanes_per_pixel=2, samples_per_lane=8,
+              max_depth=8, t_min=1e-3, spawn_eps=0.01, intersector="pallas",
+              russian_roulette=True)
+    img1, rays1, steps1 = ws.render_regen_soa(scene, key, **kw)  # single-loop
+    old_min = ws.DRAIN_MIN_LANES
+    try:
+        ws.DRAIN_MIN_LANES = 256     # force a two-level cascade
+        img2, rays2, steps2 = ws.render_regen_soa(scene, key, **kw)
+        img2b, rays2b, _ = ws.render_regen_soa(scene, key, **kw)
+    finally:
+        ws.DRAIN_MIN_LANES = old_min
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(img2b))
+    assert int(rays2) == int(rays2b)
+    assert np.isfinite(np.asarray(img2)).all()
+    spp = 16
+    m1 = np.asarray(img1).mean() / spp
+    m2 = np.asarray(img2).mean() / spp
+    # same estimator, different post-compaction streams -> MC band
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.06, (m1, m2)
+
+
+def test_gather_regen_drain_compaction(key):
+    """Same two-phase drain check for the SPPM gather twin."""
+    from raytracer_tpu.models import wavefront_soa as ws
+    scene = cornell_box(with_mesh=False)
+    npix = 24 * 24
+    est = jnp.ones((npix, 3), jnp.float32) * 0.3
+    kw = dict(width=24, height=24, lanes_per_pixel=2, samples_per_lane=6,
+              max_depth=12, t_min=1e-3, spawn_eps=0.05, intersector="pallas")
+    a1, r1, _ = ws.gather_regen_soa(scene, est, key, **kw)
+    old_min = ws.DRAIN_MIN_LANES
+    try:
+        ws.DRAIN_MIN_LANES = 256     # force a two-level cascade
+        a2, r2, _ = ws.gather_regen_soa(scene, est, key, **kw)
+    finally:
+        ws.DRAIN_MIN_LANES = old_min
+    assert np.isfinite(np.asarray(a2)).all()
+    m1 = np.asarray(a1).mean()
+    m2 = np.asarray(a2).mean()
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.06, (m1, m2)
