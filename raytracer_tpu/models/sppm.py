@@ -234,9 +234,13 @@ def _photon_maps(scene: Scene, k_ph, *, n_photons, max_photon_bounces,
     g = pg.build_grid(pos, power, norm, valid,
                       scene.bounds_min, scene.bounds_max, grid_res,
                       compact=True)
+    # a path deposits into the caustic set at most ONCE (first diffuse
+    # after a specular-only prefix, photon_mapper.rs:249-251), so
+    # n_photons statically bounds the caustic map size — the build's
+    # gathers shrink from all deposit slots (~3.7M) to n_photons
     c = pg.build_grid(pos, power, norm, valid & caustic,
                       scene.bounds_min, scene.bounds_max, grid_res,
-                      compact=True)
+                      compact=True, max_valid=n_photons)
     return g, c
 
 

@@ -51,18 +51,28 @@ def _cell_ids(pos, bmin, inv_cell, res: Tuple[int, int, int]):
 
 
 def build_grid(pos, power, norm, valid, bmin, bmax,
-               res: Tuple[int, int, int], compact: bool = False) -> PhotonGrid:
+               res: Tuple[int, int, int], compact: bool = False,
+               max_valid: int = None) -> PhotonGrid:
     """Sort photons by cell. Invalid photons sort past the end (sentinel).
 
     ``compact`` stores power/norm as bf16 (queries are HBM-bound on the
     gathered candidate payloads; positions stay f32 for the distance test —
-    the ~0.4% flux error is far below Monte-Carlo noise)."""
+    the ~0.4% flux error is far below Monte-Carlo noise).
+
+    ``max_valid``: a STATIC upper bound on the valid count, when the caller
+    can prove one (e.g. caustic deposits are <= one per photon path,
+    photon_mapper.rs:249-251 — first-diffuse-after-specular-prefix). The
+    sorted-array gathers and the grid payload then shrink from the full
+    deposit-slot count to the bound; since every valid photon sorts before
+    the sentinel tail, truncation at >= n_valid is exact."""
     n_cells = res[0] * res[1] * res[2]
     extent = jnp.maximum(bmax - bmin, 1e-6)
     inv_cell = jnp.asarray(res, jnp.float32) / extent
     cid, _ = _cell_ids(pos, bmin, inv_cell, res)
     cid = jnp.where(valid, cid, n_cells)  # sentinel: past last cell
     order = jnp.argsort(cid)
+    if max_valid is not None and max_valid < order.shape[0]:
+        order = order[:max_valid]
     cid_sorted = cid[order]
     cell_start = jnp.searchsorted(cid_sorted, jnp.arange(n_cells + 1),
                                   method="scan_unrolled").astype(jnp.int32)

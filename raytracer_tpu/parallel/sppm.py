@@ -84,7 +84,8 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
                                grid_res, compact=True)
         c_grid = pg.build_grid(pos, power, norm, valid & caustic,
                                scene_rep.bounds_min, scene_rep.bounds_max,
-                               grid_res, compact=True)
+                               grid_res, compact=True,
+                               max_valid=n_ph_local * n_dev)
 
         # 3. local measurement points (pixels beyond npix are dead weight)
         pts = sppm_model.measurement_pass(
