@@ -64,10 +64,27 @@ def sppm_iteration_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
         k_ph = jax.random.fold_in(jax.random.fold_in(k_iter, 101), dev)
         k_meas = jax.random.fold_in(jax.random.fold_in(k_iter, 103), dev)
 
-        # 1. local photon wavefront, then all_gather deposits over ICI
-        pos, power, norm, valid, caustic = sppm_model.trace_photon_deposits(
-            scene_rep, k_ph, n_ph_local, max_photon_bounces, photon_t_min,
-            spawn_eps, intersector)
+        # 1. local photon wavefront, then all_gather deposits over ICI.
+        # The regenerating SoA pass (same as the single-chip path) also
+        # shrinks the per-shard deposit arrays the gather ships: slots ~
+        # (window + bounces) * lanes instead of n_ph_local * bounces.
+        if sppm_model._soa_eligible(scene_rep, intersector):
+            from raytracer_tpu.models.wavefront_soa import (
+                trace_photon_deposits_regen_soa)
+            from raytracer_tpu.ops.dispatch import _resolve
+            comps = trace_photon_deposits_regen_soa(
+                scene_rep, k_ph, n_ph_local, max_photon_bounces,
+                photon_t_min, spawn_eps, _resolve(scene_rep, intersector))
+            (px_, py_, pz_, wr, wg, wb, nx_, ny_, nz_,
+             valid, caustic) = comps
+            pos = jnp.stack([px_, py_, pz_], -1)
+            power = jnp.stack([wr, wg, wb], -1)
+            norm = jnp.stack([nx_, ny_, nz_], -1)
+        else:
+            pos, power, norm, valid, caustic = (
+                sppm_model.trace_photon_deposits(
+                    scene_rep, k_ph, n_ph_local, max_photon_bounces,
+                    photon_t_min, spawn_eps, intersector))
         # ceil(n_photons/n_dev)*n_dev photons are actually emitted while the
         # final gather normalizes by n_iterations*photons_per_iter — rescale
         # the deposited power so total flux matches exactly n_photons.
