@@ -949,7 +949,7 @@ def emit_photons_soa(lights, key, n: int):
 def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
                                     max_bounces: int, t_min: float,
                                     spawn_eps, intersector: str,
-                                    lanes: int = 131072,
+                                    lanes: int = 16384,
                                     return_spawned: bool = False):
     """Path-REGENERATION photon pass (the trace_photon_deposits_soa twin of
     render_regen_soa): a fixed wavefront of ``min(lanes, n_photons)`` lanes
@@ -963,6 +963,12 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
     - dead lanes do the next photon's work instead of idling (the photon
       RR kills ~40%/bounce, so plain-scan occupancy collapses after 2-3
       steps) — fewer, fuller kernel steps.
+
+    Lane-count sweep (real chip, Cornell 500k photons, photon pass + both
+    grid builds fused): 262144 lanes 286 ms, 131072 187 ms, 65536 144 ms,
+    32768 121 ms, 16384 114 ms — smaller wavefronts win until per-step
+    dispatch overhead flattens the curve (~16k); the deposit buffer (and
+    the grid sort) shrinks with S*L while occupancy stays high.
 
     Budgeting: a per-step prefix sum over the retire mask admits exactly
     ``n_photons`` spawns; spawning stops ``max_bounces`` steps before the
