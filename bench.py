@@ -75,6 +75,16 @@ def main():
     rays_f, dt_f = run(fscene, "pallas", 16, rr=True)
     mrays_field = rays_f / dt_f / 1e6
 
+    # beyond one kernel's VMEM capacity: 160k spheres via the Morton-
+    # slabbed chain (pallas_intersect._run_slabbed; 2 slabs, best_t
+    # chained as the next slab's t_max). 8 spp keeps the bench short.
+    f2scene = sphere_field(163840)
+    kw2 = dict(width=width, height=height, spp=8, spp_chunk=1, max_depth=16,
+               t_min=1e-3, spawn_eps_rel=1e-4, intersector="auto",
+               russian_roulette=True)
+    (img2, rays_f2), dt_f2 = _timed(pt.render_fn, f2scene, key, **kw2)
+    mrays_field2 = int(rays_f2) / dt_f2 / 1e6
+
     # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
     # 250k photons, dense photon-query kernel
     from raytracer_tpu.models import sppm
@@ -170,6 +180,8 @@ def main():
         "sppm_iter_s_800x800_500k": round(dt_sppm8, 2),
         "mrays_field64k": round(mrays_field, 2),
         "field64k_s_per_32spp": round(dt_f, 3),
+        "mrays_field160k_slabbed": round(mrays_field2, 2),
+        "field160k_s_per_8spp": round(dt_f2, 3),
         "numeric_ok": not golden_failures,
         "numeric_failures": golden_failures,
         "backend": jax.default_backend(),

@@ -19,13 +19,16 @@ from __future__ import annotations
 from raytracer_tpu.ops.intersect import Hit, intersect_bruteforce
 from raytracer_tpu.scene.types import Scene
 
-BVH_AUTO_THRESHOLD = 81920
+BVH_AUTO_THRESHOLD = 655360
 # Sphere tables cost 68 B/primitive in VMEM (17 f32 component planes); 80k
 # primitives ~= 5.6 MB, comfortably inside the ~16 MB budget alongside the
 # ray tiles. The distance-ordered chunk walk (pallas_intersect.py round 3)
-# keeps per-ray work sublinear on dense fields, so the dense kernel stays
-# the winner well past the old 16k cliff.
-PALLAS_MAX_PRIMS = 81920
+# keeps per-ray work sublinear on dense fields, and scenes beyond one
+# kernel's VMEM capacity chain Morton-slabbed kernel calls with best_t
+# carried as the next slab's t_max (pallas_intersect._run_slabbed) — up to
+# 8 slabs (the XLA fallbacks took minutes per cast and killed the device
+# at 160k spheres; auto only falls past "pallas" above this cap).
+PALLAS_MAX_PRIMS = 655360
 
 
 def _resolve(scene: Scene, method: str) -> str:

@@ -916,8 +916,67 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
             stats)
 
 
+# Sphere-table capacity of ONE kernel call: 81920 * 68 B ~= 5.6 MB of the
+# ~16 MB VMEM budget (alongside ray tiles + rect/tri tables). Larger scenes
+# run as a chain of Morton-SLABBED kernel calls (see _run_slabbed).
+SPH_SLAB = 81920
+
+
+def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
+    """Closest hit over a sphere table larger than one kernel's VMEM
+    capacity: Morton-sort ALL spheres once, slice into spatially-compact
+    slabs of SPH_SLAB, and run the ordered-walk kernel per slab with the
+    running best_t CHAINED as the next slab's t_max — near slabs shrink
+    best_t so far slabs cull almost everything (the dense kernel's answer
+    to bvh.rs:60-101 beyond VMEM capacity; the XLA fallbacks took minutes
+    and killed the device at 160k spheres). Rects/tris ride slab 0 only.
+
+    Winner fold uses strict < so the earlier (nearer-ordered) slab keeps
+    ties, matching the in-kernel first-chunk-wins rule."""
+    s = scene.spheres
+    n_s = s.radius.shape[0]
+    order = _morton_order(s.center.astype(jnp.float32))
+    empty_rects = type(scene.rects)(*[a[:0] for a in scene.rects])
+    empty_tris = type(scene.triangles)(*[a[:0] for a in scene.triangles])
+    n = o.shape[0]
+    tmax_cur = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
+    best = None
+    for lo in range(0, n_s, SPH_SLAB):
+        idx = order[lo:lo + SPH_SLAB]
+        sph_i = s._replace(
+            center=s.center[idx], radius=s.radius[idx], mat_id=s.mat_id[idx],
+            velocity=(s.velocity[idx] if s.velocity.shape[0] == n_s
+                      else s.velocity))
+        sub = scene._replace(
+            spheres=sph_i,
+            rects=scene.rects if lo == 0 else empty_rects,
+            triangles=scene.triangles if lo == 0 else empty_tris)
+        t_i, ty_i, ix_i, data_i = _run(sub, o, d, t_min, tmax_cur, alive)
+        # map the slab-local winner index back to the global sphere id
+        # (both the ix output and winner-data slot 14, which carries it)
+        ix_i = jnp.where(ty_i == PRIM_SPHERE,
+                         idx[jnp.clip(ix_i, 0, idx.shape[0] - 1)], ix_i)
+        data_i = data_i.at[:, 14].set(
+            jnp.where(ty_i == PRIM_SPHERE, ix_i.astype(jnp.float32),
+                      data_i[:, 14]))
+        if best is None:
+            best = (t_i, ty_i, ix_i, data_i)
+        else:
+            better = t_i < best[0]
+            best = (jnp.where(better, t_i, best[0]),
+                    jnp.where(better, ty_i, best[1]),
+                    jnp.where(better, ix_i, best[2]),
+                    jnp.where(better[:, None], data_i, best[3]))
+        tmax_cur = jnp.minimum(tmax_cur,
+                               jnp.where(jnp.isfinite(best[0]), best[0], BIG))
+    return best
+
+
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     global _last_order_stats
+    if scene.spheres.radius.shape[0] > SPH_SLAB:
+        return _run_slabbed(scene, o, d, t_min, t_max, alive)
     sph, rect, tri, cull, tcull, scull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))

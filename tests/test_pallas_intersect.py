@@ -106,3 +106,51 @@ def test_ordered_walk_matches_static_and_brute():
     t1, t2 = np.asarray(h_ord.t)[a], np.asarray(h_st.t)[a]
     assert ((t1 == t2) | (np.isinf(t1) & np.isinf(t2))).all()
     assert (np.asarray(h_ord.prim_idx)[a] == np.asarray(h_st.prim_idx)[a]).all()
+
+
+def test_slabbed_run_matches_single(key):
+    """Morton-slabbed multi-call dispatch (tables beyond one kernel's VMEM
+    capacity) must agree with the single-kernel path: same winner t/type
+    everywhere, sphere winner ids mapped back to global, winner data rows
+    identical. Forced by shrinking SPH_SLAB below the scene size."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    scene = load_scene("data/scene_500.json")  # 1005 spheres
+    n = 1024
+    k1, k2 = jax.random.split(key)
+    o = jax.random.uniform(k1, (n, 3), minval=-12.0, maxval=12.0)
+    d = jax.random.normal(k2, (n, 3))
+    t1, ty1, ix1, data1 = pi._run(scene, o, d, 1e-3, jnp.inf)
+    old = pi.SPH_SLAB
+    try:
+        pi.SPH_SLAB = 256            # 1005 spheres -> 4 slabs
+        t2, ty2, ix2, data2 = pi._run(scene, o, d, 1e-3, jnp.inf)
+    finally:
+        pi.SPH_SLAB = old
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
+    hit = np.isfinite(np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
+    np.testing.assert_allclose(np.asarray(data1)[hit], np.asarray(data2)[hit],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_slabbed_rects_and_tris_once(key):
+    """Slab chaining must not double-count rect/tri hits (they ride slab 0
+    only) and must preserve closest-hit across primitive classes."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    scene = cornell_box(with_mesh=True)  # rects + tris + spheres
+    n = 512
+    k1, k2 = jax.random.split(key)
+    o = jax.random.uniform(k1, (n, 3), minval=50.0, maxval=500.0)
+    d = jax.random.normal(k2, (n, 3))
+    t1, ty1, ix1, _ = pi._run(scene, o, d, 1e-3, jnp.inf)
+    old = pi.SPH_SLAB
+    try:
+        pi.SPH_SLAB = 1              # every sphere its own slab
+        t2, ty2, ix2, _ = pi._run(scene, o, d, 1e-3, jnp.inf)
+    finally:
+        pi.SPH_SLAB = old
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
