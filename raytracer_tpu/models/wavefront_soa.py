@@ -528,7 +528,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                      lanes_per_pixel: int, samples_per_lane: int,
                      max_depth: int, t_min: float, spawn_eps,
                      intersector: str, russian_roulette: bool = True,
-                     nee: bool = False):
+                     nee: bool = False, pixel_slots=None):
     """Path-REGENERATION wavefront renderer: when a lane's sample retires
     (miss, absorb, RR kill, or depth cap) the lane immediately spawns its
     pixel's NEXT sample — a fresh camera ray, throughput 1, depth 0 — with
@@ -549,13 +549,25 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     sample draws from the step-indexed keys of the steps it happens to
     occupy.
 
-    Returns ((npix, 3) radiance SUM over all samples, rays traced,
+    ``pixel_slots``: optional (n_out,) array of actual pixel ids to serve
+    instead of the whole image (the pixel-shard case — parallel/render.py
+    passes its block-permuted shard); output is then in SLOT order (the
+    caller unpermutes). Without it the whole image is rendered and the
+    output is pixel-ordered.
+
+    Returns ((n_out, 3) radiance SUM over all samples, rays traced,
     loop steps executed)."""
-    npix = width * height
-    n = npix * lanes_per_pixel
+    if pixel_slots is None:
+        perm, inv = block_order(width, height)
+        slots = jnp.asarray(perm)
+    else:
+        inv = None
+        slots = pixel_slots
+    n_out = slots.shape[0]
+    n = n_out * lanes_per_pixel
     fused = use_fused(scene, intersector)
-    perm, inv = block_order(width, height)
-    pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
+    slot_id = jnp.arange(n, dtype=jnp.int32) % n_out
+    pix = slots[slot_id]
     quota = jnp.int32(samples_per_lane)
 
     def make_body(px_, py_, nl):
@@ -648,51 +660,66 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
 
     sizes = _drain_sizes(n)
     LANE_STATE = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18, 19)
-    s, cur_px, cur_py, cur_pix = init, px, py, pix
-    tails = []  # (pix_ids, accum (m,3)) per compacted-away level
+    s, cur_px, cur_py, cur_slot = init, px, py, slot_id
+    tails = []  # (slot_ids, accum (m,3)) per compacted-away level
+    lvl0_accum = None
     for nxt in sizes[1:]:
         s = jax.lax.while_loop(lambda s: jnp.sum(s[16]) > nxt,
                                make_body(cur_px, cur_py, cur_px.shape[0]), s)
         idx = jnp.argsort(~s[16])[:nxt]
-        if cur_pix is pix:  # level-0 accum keeps its static lane->pixel map
+        if lvl0_accum is None:  # level-0 keeps its static lane->slot map
             lvl0_accum = jnp.stack([s[13], s[14], s[15]], -1)
         else:
-            tails.append((cur_pix, jnp.stack([s[13], s[14], s[15]], -1)))
+            tails.append((cur_slot, jnp.stack([s[13], s[14], s[15]], -1)))
         s = tuple(x[idx] if i in LANE_STATE
                   else (jnp.zeros((nxt,), jnp.float32) if i in (13, 14, 15)
                         else x)
                   for i, x in enumerate(s))
-        cur_px, cur_py, cur_pix = cur_px[idx], cur_py[idx], cur_pix[idx]
+        cur_px, cur_py, cur_slot = cur_px[idx], cur_py[idx], cur_slot[idx]
     s = jax.lax.while_loop(lambda s: jnp.any(s[16]),
                            make_body(cur_px, cur_py, cur_px.shape[0]), s)
-    if cur_pix is pix:
+    if lvl0_accum is None:
         accum = jnp.stack([s[13], s[14], s[15]], -1)
-        accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-        return accum[jnp.asarray(inv)], s[20], s[0]
-    tails.append((cur_pix, jnp.stack([s[13], s[14], s[15]], -1)))
-    accum = lvl0_accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    accum = accum[jnp.asarray(inv)]
-    for t_pix, t_acc in tails:  # one-off scatter-adds, tiny rows
-        accum = accum.at[t_pix].add(t_acc)
+        accum = accum.reshape(lanes_per_pixel, n_out, 3).sum(axis=0)
+    else:
+        tails.append((cur_slot, jnp.stack([s[13], s[14], s[15]], -1)))
+        accum = lvl0_accum.reshape(lanes_per_pixel, n_out, 3).sum(axis=0)
+        for t_slot, t_acc in tails:  # one-off scatter-adds, tiny rows
+            accum = accum.at[t_slot].add(t_acc)
+    if inv is not None:
+        accum = accum[jnp.asarray(inv)]
     return accum, s[20], s[0]
 
 
 def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
                      lanes_per_pixel: int, samples_per_lane: int,
                      max_depth: int, t_min: float, spawn_eps,
-                     intersector: str):
+                     intersector: str, pixel_slots=None):
     """Path-regeneration twin of gather_walk_soa for the SPPM final gather
     (sample_ray, photon_mapper.rs:326-365 with the depth-50 cap): Le at
     every hit, the pixel's density estimate at the first Diffuse hit,
     specular chains multiply throughput. The depth-50 specular walk retires
     most lanes within a few bounces, so regeneration converts the ~idle
-    tail into fresh samples. ``est`` is (npix, 3); lane l serves pixel
-    l % npix. Returns ((npix, 3) radiance SUM, rays, steps)."""
-    npix = width * height
-    n = npix * lanes_per_pixel
+    tail into fresh samples.
+
+    Without ``pixel_slots``: ``est`` is (npix, 3) pixel-ordered, the whole
+    image is gathered, output pixel-ordered. With ``pixel_slots`` (n_out,)
+    actual pixel ids (the pixel-shard case): ``est`` must be (n_out, 3) in
+    SLOT order and the output is slot-ordered.
+    Returns ((n_out, 3) radiance SUM, rays, steps)."""
+    if pixel_slots is None:
+        perm, inv = block_order(width, height)
+        slots = jnp.asarray(perm)
+        est_slots = est[slots]
+    else:
+        inv = None
+        slots = pixel_slots
+        est_slots = est
+    n_out = slots.shape[0]
+    n = n_out * lanes_per_pixel
     fused = use_fused(scene, intersector)
-    perm, inv = block_order(width, height)
-    pix = jnp.asarray(perm)[jnp.arange(n, dtype=jnp.int32) % npix]
+    slot_id = jnp.arange(n, dtype=jnp.int32) % n_out
+    pix = slots[slot_id]
     quota = jnp.int32(samples_per_lane)
 
     def make_body(px_, py_, er_, eg_, eb_):
@@ -749,9 +776,9 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
 
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
-    er_ = est[:, 0][pix]
-    eg_ = est[:, 1][pix]
-    eb_ = est[:, 2][pix]
+    er_ = est_slots[:, 0][slot_id]
+    eg_ = est_slots[:, 1][slot_id]
+    eb_ = est_slots[:, 2][slot_id]
     ox0, oy0, oz0, dx0, dy0, dz0 = camera_rays_soa(
         scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17), 0),
         px, py, width, height)
@@ -766,13 +793,14 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
 
     sizes = _drain_sizes(n)
     LANE_STATE = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18)
-    s, cur = init, (px, py, er_, eg_, eb_, pix)
+    s, cur = init, (px, py, er_, eg_, eb_, slot_id)
     tails = []
+    lvl0_accum = None
     for nxt in sizes[1:]:
         s = jax.lax.while_loop(lambda s: jnp.sum(s[16]) > nxt,
                                make_body(*cur[:5]), s)
         idx = jnp.argsort(~s[16])[:nxt]
-        if cur[5] is pix:  # level-0 accum keeps its static lane->pixel map
+        if lvl0_accum is None:  # level-0 keeps its static lane->slot map
             lvl0_accum = jnp.stack([s[13], s[14], s[15]], -1)
         else:
             tails.append((cur[5], jnp.stack([s[13], s[14], s[15]], -1)))
@@ -782,15 +810,16 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
                   for i, x in enumerate(s))
         cur = tuple(a[idx] for a in cur)
     s = jax.lax.while_loop(lambda s: jnp.any(s[16]), make_body(*cur[:5]), s)
-    if cur[5] is pix:
+    if lvl0_accum is None:
         accum = jnp.stack([s[13], s[14], s[15]], -1)
-        accum = accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-        return accum[jnp.asarray(inv)], s[19], s[0]
-    tails.append((cur[5], jnp.stack([s[13], s[14], s[15]], -1)))
-    accum = lvl0_accum.reshape(lanes_per_pixel, npix, 3).sum(axis=0)
-    accum = accum[jnp.asarray(inv)]
-    for t_pix, t_acc in tails:
-        accum = accum.at[t_pix].add(t_acc)
+        accum = accum.reshape(lanes_per_pixel, n_out, 3).sum(axis=0)
+    else:
+        tails.append((cur[5], jnp.stack([s[13], s[14], s[15]], -1)))
+        accum = lvl0_accum.reshape(lanes_per_pixel, n_out, 3).sum(axis=0)
+        for t_slot, t_acc in tails:
+            accum = accum.at[t_slot].add(t_acc)
+    if inv is not None:
+        accum = accum[jnp.asarray(inv)]
     return accum, s[19], s[0]
 
 

@@ -69,6 +69,45 @@ def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
     n_chunks = -(-spp_local // chunk)
     spawn_eps = spawn_eps_rel * scene.scale
 
+    # Path-regeneration fast path per shard (same machinery as the
+    # single-chip render_fn: regen + drain-compaction cascade): each chip
+    # runs one regenerating wavefront over its BLOCK-PERMUTED pixel shard
+    # (whole 16x16 blocks land on one chip, preserving the kernel's
+    # tile-cull coherence). Eligibility mirrors render_fn's (static).
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        from raytracer_tpu.models.wavefront_soa import (
+            block_order, render_regen_soa)
+        perm, inv = block_order(width, height)
+        perm_pad = np.concatenate(
+            [perm, np.full(npix_pad - npix, npix - 1, perm.dtype)])
+        slots = jnp.asarray(perm_pad)
+
+        def shard_fn(scene_rep, key_rep, slots_shard):
+            px_i = jax.lax.axis_index("px")
+            spp_i = jax.lax.axis_index("spp")
+            dev_key = jax.random.fold_in(
+                jax.random.fold_in(key_rep, px_i), spp_i)
+            accum, rays, _steps = render_regen_soa(
+                scene_rep, dev_key, width=width, height=height,
+                lanes_per_pixel=chunk, samples_per_lane=n_chunks,
+                max_depth=max_depth, t_min=t_min, spawn_eps=spawn_eps,
+                intersector=method, nee=nee, pixel_slots=slots_shard)
+            accum = jax.lax.psum(accum, "spp")
+            rays = jax.lax.psum(rays, ("px", "spp"))
+            return accum, rays
+
+        accum, rays = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("px")),
+            out_specs=(P("px"), P()),
+            check_vma=False,
+        )(scene, key, slots)
+        img = accum[jnp.asarray(inv)] / (n_chunks * chunk * n_spp)
+        return img.reshape(height, width, 3), rays[0] if rays.ndim else rays
+
     def shard_fn(scene_rep, key_rep, ids_shard):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")

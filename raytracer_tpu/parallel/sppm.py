@@ -167,6 +167,45 @@ def sppm_gather_sharded(scene: Scene, state, key, *, mesh: Mesh, width,
     n_chunks = -(-spp_local // chunk)
     spawn_eps = spawn_eps_rel * scene.scale
 
+    # regen + drain-cascade per shard (same machinery as gather_fn's
+    # single-chip fast path); pixels ride block-permuted so whole 16x16
+    # blocks land on one chip
+    from raytracer_tpu.ops.dispatch import _resolve
+    method = _resolve(scene, intersector)
+    if (method in ("pallas", "leaf")
+            and (scene.media is None or not scene.media.kind.shape[0])):
+        import numpy as _np
+        from raytracer_tpu.models.wavefront_soa import (
+            block_order, gather_regen_soa)
+        perm, inv = block_order(width, height)
+        perm_pad = _np.concatenate(
+            [perm, _np.full(npix_pad - npix, npix - 1, perm.dtype)])
+        slots = jnp.asarray(perm_pad)
+        est_slots = est[slots]   # est rows in slot order, sharded alongside
+
+        def shard_fn_regen(scene_rep, key_rep, slots_shard, est_shard):
+            px_i = jax.lax.axis_index("px")
+            spp_i = jax.lax.axis_index("spp")
+            dev_key = jax.random.fold_in(
+                jax.random.fold_in(key_rep, px_i), spp_i)
+            accum, rays, _steps = gather_regen_soa(
+                scene_rep, est_shard, dev_key, width=width, height=height,
+                lanes_per_pixel=chunk, samples_per_lane=n_chunks,
+                max_depth=max_depth, t_min=t_min, spawn_eps=spawn_eps,
+                intersector=method, pixel_slots=slots_shard)
+            accum = jax.lax.psum(accum, "spp")
+            rays = jax.lax.psum(rays, ("px", "spp"))
+            return accum, rays
+
+        accum, rays = shard_map(
+            shard_fn_regen, mesh=mesh,
+            in_specs=(P(), P(), P("px"), P("px")),
+            out_specs=(P("px"), P()),
+            check_vma=False,
+        )(scene, key, slots, est_slots)
+        img = accum[jnp.asarray(inv)] / (n_chunks * chunk * n_spp)
+        return img.reshape(height, width, 3), rays[0] if rays.ndim else rays
+
     def shard_fn(scene_rep, key_rep, ids_shard, est_shard):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")
