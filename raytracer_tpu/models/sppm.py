@@ -640,7 +640,10 @@ def render(scene: Scene, config: RenderConfig, key,
             state = sppm_iteration(scene, state, key, **kw)
         if checkpoint_cb is not None:
             checkpoint_cb(state)
-        jax.block_until_ready(state.glob.flux)
+        if prog.enabled or checkpoint_cb is not None:
+            # sync only when someone observes per-iteration timing; piped
+            # runs keep async dispatch pipelined across iterations
+            jax.block_until_ready(state.glob.flux)
         prog.tick(1)
 
     # final gather, host-batched like path_tracer.render (long single

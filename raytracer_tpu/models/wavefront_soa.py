@@ -98,9 +98,12 @@ def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
     # r^2 on the dense-kernel path (the csq expansion cancels at large
     # coordinates); leaf winners leave slot 15 at 0 -> csq fallback
     cx, cy, cz = data[:, 0], data[:, 1], data[:, 2]
+    # prefer the EXACT r^2 (slot 15, dense path); the csq expansion loses
+    # ~ulp(|c|^2) to cancellation at large coordinates and taking max()
+    # would keep the WRONG value whenever the expansion lands high
     r = jnp.sqrt(jnp.maximum(
-        jnp.maximum(data[:, 15],
-                    cx * cx + cy * cy + cz * cz - data[:, 3]), 1e-20))
+        jnp.where(data[:, 15] > 0.0, data[:, 15],
+                  cx * cx + cy * cy + cz * cz - data[:, 3]), 1e-20))
     inv_r = 1.0 / r
     snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
 
@@ -979,7 +982,8 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
                                     max_bounces: int, t_min: float,
                                     spawn_eps, intersector: str,
                                     lanes: int = 16384,
-                                    return_spawned: bool = False):
+                                    return_spawned: bool = False,
+                                    spawn_window: int = None):
     """Path-REGENERATION photon pass (the trace_photon_deposits_soa twin of
     render_regen_soa): a fixed wavefront of ``min(lanes, n_photons)`` lanes
     traces photons; when a photon dies (RR absorb, miss, or the
@@ -1019,8 +1023,13 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
     B = int(n_photons)
     L = min(B, int(lanes))
     # spawn-rate model: ~L/E[len] retire per step (E[len] ~ 2.5 with RR);
-    # 4x(B-L)/L steps admits the remaining budget with ~1.6x margin
-    window = 0 if B <= L else -(-4 * (B - L) // L)
+    # 4x(B-L)/L steps admits the remaining budget with ~1.6x margin.
+    # ``spawn_window`` overrides the model (tests force the window-closed-
+    # early rescale path with it).
+    if spawn_window is not None:
+        window = spawn_window
+    else:
+        window = 0 if B <= L else -(-4 * (B - L) // L)
     S = window + max_bounces
     fused = use_fused(scene, intersector)
     k_emit = jax.random.fold_in(key, 29)

@@ -23,12 +23,17 @@ BVH_AUTO_THRESHOLD = 655360
 # Sphere tables cost 68 B/primitive in VMEM (17 f32 component planes); 80k
 # primitives ~= 5.6 MB, comfortably inside the ~16 MB budget alongside the
 # ray tiles. The distance-ordered chunk walk (pallas_intersect.py round 3)
-# keeps per-ray work sublinear on dense fields, and scenes beyond one
-# kernel's VMEM capacity chain Morton-slabbed kernel calls with best_t
+# keeps per-ray work sublinear on dense fields, and SPHERE tables beyond
+# one kernel's VMEM capacity chain Morton-slabbed kernel calls with best_t
 # carried as the next slab's t_max (pallas_intersect._run_slabbed) — up to
 # 8 slabs (the XLA fallbacks took minutes per cast and killed the device
 # at 160k spheres; auto only falls past "pallas" above this cap).
-PALLAS_MAX_PRIMS = 655360
+PALLAS_MAX_SPHERES = 655360
+# Rect/tri tables have NO slab path (they ride slab 0 whole): tris cost
+# 152 B each ((26+12) f32 rows), so the pre-slab 81920 total-prim cap
+# stays their VMEM bound (~12 MB worst-case all-tri).
+PALLAS_MAX_RECT_TRI = 81920
+PALLAS_MAX_PRIMS = PALLAS_MAX_SPHERES  # back-compat alias (sphere-bound)
 
 
 def _resolve(scene: Scene, method: str) -> str:
@@ -42,9 +47,11 @@ def _resolve(scene: Scene, method: str) -> str:
     # 40 ms at 1k, 2.2 s vs 0.4 s at 16k per 960k-ray cast — the walk's
     # per-iteration selection cost grows with the leaf count; ROUND_NOTES
     # round 2). "leaf" stays available as an explicit method.
-    if scene.n_primitives <= PALLAS_MAX_PRIMS:
+    n_rect_tri = scene.rects.k.shape[0] + scene.triangles.mat_id.shape[0]
+    if (scene.spheres.radius.shape[0] <= PALLAS_MAX_SPHERES
+            and n_rect_tri <= PALLAS_MAX_RECT_TRI):
         return "pallas"
-    if scene.bvh is not None and scene.n_primitives > BVH_AUTO_THRESHOLD:
+    if scene.bvh is not None:
         return "bvh"
     return "bruteforce"
 

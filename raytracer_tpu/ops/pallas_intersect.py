@@ -397,21 +397,11 @@ SPHERE_SLOTS = (list(range(4)) + list(range(N_GEO_SLOTS, N_SLOTS))
 
 def _tile_slab_any(rv: RayVals, box_ref, jc, best_t):
     """Whole-ray-tile slab test vs one table AABB column: True if ANY lane's
-    [tmin, min(best_t, tmax)] segment can touch box jc."""
-    t0x = (box_ref[0, jc] - rv.ox) * rv.inv_dx
-    t1x = (box_ref[3, jc] - rv.ox) * rv.inv_dx
-    t0y = (box_ref[1, jc] - rv.oy) * rv.inv_dy
-    t1y = (box_ref[4, jc] - rv.oy) * rv.inv_dy
-    t0z = (box_ref[2, jc] - rv.oz) * rv.inv_dz
-    t1z = (box_ref[5, jc] - rv.oz) * rv.inv_dz
-    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                    jnp.minimum(t0y, t1y)),
-                        jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
-    leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z),
-                                    jnp.minimum(best_t, rv.tmax)))
-    return jnp.any(enter <= leave)
+    [tmin, min(best_t, tmax)] segment can touch box jc. Delegates to the
+    explicit-operand form (one copy of the enter/leave math)."""
+    return _tile_slab_any_vals(rv, box_ref[0, jc], box_ref[1, jc],
+                               box_ref[2, jc], box_ref[3, jc],
+                               box_ref[4, jc], box_ref[5, jc], best_t)
 
 
 def _sphere_chunk_fold(c, rv: RayVals, blk, base):
@@ -1017,9 +1007,10 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
     # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]; slot 15 = exact r^2 on
     # the dense path (0 from leaf winners -> csq-expansion fallback)
     c = data[:, 0:3]
+    rsq_slot = data[:, SPH_RSQ_SLOT]
     r = jnp.sqrt(jnp.maximum(
-        jnp.maximum(data[:, SPH_RSQ_SLOT],
-                    jnp.sum(c * c, -1) - data[:, 3]), 1e-20))
+        jnp.where(rsq_slot > 0.0, rsq_slot,
+                  jnp.sum(c * c, -1) - data[:, 3]), 1e-20))
     sph_n = (p - c) / r[:, None]
 
     # rect: slots [n(3), a_hot(3), b_hot(3), k, a0, a1, b0, b1]
@@ -1098,9 +1089,10 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
 
     # sphere normal: slots [cx, cy, cz, csq]; slot 15 = exact r^2
     cx, cy, cz = col(0), col(1), col(2)
+    rsq_slot = col(SPH_RSQ_SLOT)
     r = jnp.sqrt(jnp.maximum(
-        jnp.maximum(col(SPH_RSQ_SLOT),
-                    cx * cx + cy * cy + cz * cz - col(3)), 1e-20))
+        jnp.where(rsq_slot > 0.0, rsq_slot,
+                  cx * cx + cy * cy + cz * cz - col(3)), 1e-20))
     inv_r = 1.0 / r
     snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
     # triangle smooth normal: slots [b1, b2, n0(3), n1(3), n2(3)]
@@ -1286,9 +1278,12 @@ def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull,
 
 def bounce_fused_eligible(scene: Scene) -> bool:
     """The megakernel evaluates textures in VMEM: constant/checker only
-    (image/noise need HBM gathers), and only the pallas table budget."""
+    (image/noise need HBM gathers), and only a SINGLE-kernel table budget
+    (it has no slab path — scenes beyond SPH_SLAB spheres must go through
+    _run/_run_slabbed)."""
     return (scene.images.shape[0] == 0
-            and scene.textures.noise_marker.shape[0] == 0)
+            and scene.textures.noise_marker.shape[0] == 0
+            and scene.spheres.radius.shape[0] <= SPH_SLAB)
 
 
 def bounce_fused(scene: Scene, o, d, t_min, alive, uni):

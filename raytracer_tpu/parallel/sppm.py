@@ -286,9 +286,12 @@ def render_sppm(scene: Scene, config, key, mesh: Mesh = None, state=None,
     # gather kills the device/tunnel; ~16M is safe, and >1.5M-lane wavefronts
     # hit HBM buffer compression) — scaled by the device count since each
     # chip only traces its pixel shard
-    n_dev = mesh.devices.size
-    lane_budget = max(1, 16_000_000 * n_dev // npix)
-    chunk_budget = max(1, 1_500_000 * n_dev // npix)
+    # budgets are per-CHIP lane counts; only the "px" axis shards the
+    # per-chunk lanes (the spp axis replicates pixels with other streams),
+    # so scale by n_px, not the device count
+    n_px = mesh.shape["px"]
+    lane_budget = max(1, 16_000_000 * n_px // npix)
+    chunk_budget = max(1, 1_500_000 * n_px // npix)
     batch = max(1, min(config.host_spp_batch, total, lane_budget))
     done, i, rays_total, accum = 0, 0, 0, None
     while done < total:

@@ -58,12 +58,19 @@ class Progress:
     _rays: float = 0.0
     _start: float = field(default_factory=time.time)
 
-    def tick(self, units: int = 1, rays: float = 0.0):
+    @property
+    def enabled(self) -> bool:
+        """Whether ticks will render (callers may skip host-device syncs
+        whose only purpose is an accurate progress line)."""
         import sys
+        return self.force or sys.stderr.isatty()
+
+    def tick(self, units: int = 1, rays: float = 0.0):
         self._done += units
         self._rays += float(rays)
-        if not (self.force or sys.stderr.isatty()):
+        if not self.enabled:
             return
+        import sys
         elapsed = time.time() - self._start
         rate = self._done / elapsed if elapsed > 0 else 0.0
         eta = (self.total - self._done) / rate if rate > 0 else float("inf")
