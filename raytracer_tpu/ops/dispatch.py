@@ -29,10 +29,10 @@ BVH_AUTO_THRESHOLD = 655360
 # 8 slabs (the XLA fallbacks took minutes per cast and killed the device
 # at 160k spheres; auto only falls past "pallas" above this cap).
 PALLAS_MAX_SPHERES = 655360
-# Rect/tri tables have NO slab path (they ride slab 0 whole): tris cost
-# 152 B each ((26+12) f32 rows), so the pre-slab 81920 total-prim cap
-# stays their VMEM bound (~12 MB worst-case all-tri).
-PALLAS_MAX_RECT_TRI = 81920
+# Triangles slab too (TRI_SLAB = 49152 per call, 152 B each); rects have
+# no slab path but only ever number in the dozens (boxes expand to 6).
+PALLAS_MAX_TRIS = 393216
+PALLAS_MAX_RECTS = 81920
 PALLAS_MAX_PRIMS = PALLAS_MAX_SPHERES  # back-compat alias (sphere-bound)
 
 
@@ -47,9 +47,9 @@ def _resolve(scene: Scene, method: str) -> str:
     # 40 ms at 1k, 2.2 s vs 0.4 s at 16k per 960k-ray cast — the walk's
     # per-iteration selection cost grows with the leaf count; ROUND_NOTES
     # round 2). "leaf" stays available as an explicit method.
-    n_rect_tri = scene.rects.k.shape[0] + scene.triangles.mat_id.shape[0]
     if (scene.spheres.radius.shape[0] <= PALLAS_MAX_SPHERES
-            and n_rect_tri <= PALLAS_MAX_RECT_TRI):
+            and scene.triangles.mat_id.shape[0] <= PALLAS_MAX_TRIS
+            and scene.rects.k.shape[0] <= PALLAS_MAX_RECTS):
         return "pallas"
     if scene.bvh is not None:
         return "bvh"

@@ -906,50 +906,85 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
             stats)
 
 
-# Sphere-table capacity of ONE kernel call: 81920 * 68 B ~= 5.6 MB of the
-# ~16 MB VMEM budget (alongside ray tiles + rect/tri tables). Larger scenes
-# run as a chain of Morton-SLABBED kernel calls (see _run_slabbed).
+# Per-kernel-call table capacities within the ~16 MB VMEM budget
+# (alongside ray tiles): spheres cost 80 B/prim (20 f32 rows) -> 81920 =
+# 6.6 MB; triangles cost 152 B/prim (38 rows) -> 49152 = 7.5 MB. Larger
+# tables run as a chain of Morton-SLABBED kernel calls (_run_slabbed).
 SPH_SLAB = 81920
+TRI_SLAB = 49152
 
 
 def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
-    """Closest hit over a sphere table larger than one kernel's VMEM
-    capacity: Morton-sort ALL spheres once, slice into spatially-compact
-    slabs of SPH_SLAB, and run the ordered-walk kernel per slab with the
-    running best_t CHAINED as the next slab's t_max — near slabs shrink
-    best_t so far slabs cull almost everything (the dense kernel's answer
-    to bvh.rs:60-101 beyond VMEM capacity; the XLA fallbacks took minutes
-    and killed the device at 160k spheres). Rects/tris ride slab 0 only.
+    """Closest hit over tables larger than one kernel's VMEM capacity:
+    Morton-sort each oversized table once, slice into spatially-compact
+    slabs (SPH_SLAB spheres / TRI_SLAB triangles), and run the kernel per
+    slab with the running best_t CHAINED as the next slab's t_max — near
+    slabs shrink best_t so far slabs cull almost everything (the dense
+    kernel's answer to bvh.rs:60-101 beyond VMEM capacity; the XLA
+    fallbacks took minutes and killed the device at 160k spheres).
 
-    Winner fold uses strict < so the earlier (nearer-ordered) slab keeps
-    ties, matching the in-kernel first-chunk-wins rule."""
+    Sub-scene sequence: [spheres slab 0 + rects + tris slab 0], then the
+    remaining sphere slabs (empty rect/tri), then the remaining tri slabs
+    (empty sphere/rect). Winner fold uses strict < so the earlier
+    (nearer-ordered) slab keeps ties, matching the in-kernel
+    first-chunk-wins rule; slab-local winner ids (ix and data slot 14)
+    remap to the global primitive id."""
     s = scene.spheres
+    tr = scene.triangles
     n_s = s.radius.shape[0]
-    order = _morton_order(s.center.astype(jnp.float32))
+    n_t = tr.mat_id.shape[0]
+    empty_sph = type(s)(*([a[:0] for a in s[:4]] + [s.motion_marker]))
     empty_rects = type(scene.rects)(*[a[:0] for a in scene.rects])
-    empty_tris = type(scene.triangles)(*[a[:0] for a in scene.triangles])
+    empty_tris = type(tr)(*[a[:0] for a in tr])
+
+    def sph_slab(idx):
+        return s._replace(
+            center=s.center[idx], radius=s.radius[idx], mat_id=s.mat_id[idx],
+            velocity=(s.velocity[idx] if s.velocity.shape[0] == n_s
+                      else s.velocity))
+
+    def tri_slab(idx):
+        return type(tr)(*[a[idx] for a in tr])
+
+    s_order = (_morton_order(s.center.astype(jnp.float32)) if n_s > SPH_SLAB
+               else jnp.arange(n_s, dtype=jnp.int32))
+    t_order = (_morton_order(
+        (tr.v0 + (tr.e1 + tr.e2) / 3.0).astype(jnp.float32))
+        if n_t > TRI_SLAB else jnp.arange(n_t, dtype=jnp.int32))
+
+    # (sub_scene, sphere-id map or None, tri-id map or None)
+    subs = []
+    idx_s0 = s_order[:SPH_SLAB]
+    idx_t0 = t_order[:TRI_SLAB]
+    subs.append((scene._replace(
+        spheres=sph_slab(idx_s0) if n_s else s,
+        triangles=tri_slab(idx_t0) if n_t else tr),
+        idx_s0 if n_s else None, idx_t0 if n_t else None))
+    for lo in range(SPH_SLAB, n_s, SPH_SLAB):
+        idx = s_order[lo:lo + SPH_SLAB]
+        subs.append((scene._replace(spheres=sph_slab(idx),
+                                    rects=empty_rects, triangles=empty_tris),
+                     idx, None))
+    for lo in range(TRI_SLAB, n_t, TRI_SLAB):
+        idx = t_order[lo:lo + TRI_SLAB]
+        subs.append((scene._replace(spheres=empty_sph, rects=empty_rects,
+                                    triangles=tri_slab(idx)),
+                     None, idx))
+
     n = o.shape[0]
     tmax_cur = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
     best = None
-    for lo in range(0, n_s, SPH_SLAB):
-        idx = order[lo:lo + SPH_SLAB]
-        sph_i = s._replace(
-            center=s.center[idx], radius=s.radius[idx], mat_id=s.mat_id[idx],
-            velocity=(s.velocity[idx] if s.velocity.shape[0] == n_s
-                      else s.velocity))
-        sub = scene._replace(
-            spheres=sph_i,
-            rects=scene.rects if lo == 0 else empty_rects,
-            triangles=scene.triangles if lo == 0 else empty_tris)
+    for sub, s_idx, t_idx in subs:
         t_i, ty_i, ix_i, data_i = _run(sub, o, d, t_min, tmax_cur, alive)
-        # map the slab-local winner index back to the global sphere id
-        # (both the ix output and winner-data slot 14, which carries it)
-        ix_i = jnp.where(ty_i == PRIM_SPHERE,
-                         idx[jnp.clip(ix_i, 0, idx.shape[0] - 1)], ix_i)
-        data_i = data_i.at[:, 14].set(
-            jnp.where(ty_i == PRIM_SPHERE, ix_i.astype(jnp.float32),
-                      data_i[:, 14]))
+        for prim, idx in ((PRIM_SPHERE, s_idx), (PRIM_TRIANGLE, t_idx)):
+            if idx is None or not idx.shape[0]:
+                continue
+            ix_i = jnp.where(ty_i == prim,
+                             idx[jnp.clip(ix_i, 0, idx.shape[0] - 1)], ix_i)
+            data_i = data_i.at[:, 14].set(
+                jnp.where(ty_i == prim, ix_i.astype(jnp.float32),
+                          data_i[:, 14]))
         if best is None:
             best = (t_i, ty_i, ix_i, data_i)
         else:
@@ -965,7 +1000,8 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
 
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     global _last_order_stats
-    if scene.spheres.radius.shape[0] > SPH_SLAB:
+    if (scene.spheres.radius.shape[0] > SPH_SLAB
+            or scene.triangles.mat_id.shape[0] > TRI_SLAB):
         return _run_slabbed(scene, o, d, t_min, t_max, alive)
     sph, rect, tri, cull, tcull, scull = pack_tables(scene)
     n = o.shape[0]

@@ -122,3 +122,42 @@ def three_spheres(aspect_ratio: float = 16.0 / 9.0):
                  vfov=60.0, aspect_ratio=aspect_ratio, aperture=0.0,
                  focus_dist=2.5)
     return b.compile()
+
+
+def bunny_field(n_bunnies: int = 25, aspect_ratio: float = 4.0 / 3.0,
+                data_dir: str = None):
+    """Large-MESH stress bench: an n x n grid of Stanford bunnies
+    (bun315.obj, 4,968 tris each — 25 bunnies = 124,200 triangles) over a
+    ground sphere with a sky light. Exercises the triangle-slab chain
+    (pallas_intersect.TRI_SLAB) the way sphere_field exercises the sphere
+    slabs — the "100k-tri mesh" scene class the reference's O(log N) BVH
+    (bvh.rs:60-101) handles and one VMEM-resident kernel cannot."""
+    import numpy as np
+    if data_dir is None:
+        data_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                "data")
+    mesh = load_obj(os.path.join(data_dir, "mesh", "bun315.obj"))
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker_texture((0.2, 0.3, 0.1),
+                                            (0.9, 0.9, 0.9)))
+    b.add_sphere((0.0, -10000.0, 0.0), 10000.0, ground)
+    side = int(np.ceil(np.sqrt(n_bunnies)))
+    rng = np.random.default_rng(0)
+    mats = [b.lambertian(b.constant_texture(tuple(c)))
+            for c in rng.uniform(0.3, 0.9, (8, 3))]
+    mats += [b.metal(b.constant_texture((0.8, 0.8, 0.85)), 0.05),
+             b.dielectric(1.5)]
+    for i in range(n_bunnies):
+        gx = (i % side) - (side - 1) / 2.0
+        gz = (i // side) - (side - 1) / 2.0
+        # bun315 spans roughly [-0.09, 0.06]^3 around the origin; scale 8
+        # makes each bunny ~1.2 units tall on a 2-unit grid pitch
+        m = trs_matrix((2.0 * gx, -0.26, 2.0 * gz), (8.0, 8.0, 8.0),
+                       (0.0, float(rng.uniform(0, 6.28)), 0.0))
+        b.add_triangles(mesh.positions, mesh.indices, mats[i % len(mats)],
+                        normals=mesh.normals, transform=m)
+    b.add_sphere_light((0.0, 30.0, 0.0), 10.0, (4.0, 4.0, 4.0), 60.0)
+    b.set_camera(look_from=(0.0, 3.5, float(side) * 1.6),
+                 look_at=(0.0, 0.3, 0.0), vfov=50.0,
+                 aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=10.0)
+    return b.compile()

@@ -154,3 +154,43 @@ def test_slabbed_rects_and_tris_once(key):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
+
+
+def test_tri_slabbed_run_matches_single(key):
+    """Triangle slabbing (TRI_SLAB forced below the bunny's 4,968 tris)
+    must agree with the single-kernel path: same winner t/type, tri ids
+    remapped to global, rect/sphere hits uncorrupted."""
+    import os
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.scene.builder import trs_matrix
+    from raytracer_tpu.utils.obj import load_obj
+    mesh = load_obj(os.path.join(os.path.dirname(__file__), "..", "data",
+                                 "mesh", "bun315.obj"))
+    b = SceneBuilder()
+    white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
+    b.add_triangles(mesh.positions, mesh.indices, white,
+                    normals=mesh.normals,
+                    transform=trs_matrix((0, 0, 0), (20, 20, 20), (0, 0, 0)))
+    b.add_sphere((0.0, -1000.0, 0.0), 998.0, white)  # ground below bunny
+    scene = b.compile()
+    n = 1024
+    k1, k2 = jax.random.split(key)
+    lo = np.asarray(scene.bounds_min)
+    hi = np.asarray(scene.bounds_max)
+    o = jnp.asarray(np.random.default_rng(0).uniform(
+        lo - 1.0, hi + 1.0, (n, 3)).astype(np.float32))
+    d = jax.random.normal(k2, (n, 3))
+    t1, ty1, ix1, data1 = pi._run(scene, o, d, 1e-3, jnp.inf)
+    old = pi.TRI_SLAB
+    try:
+        pi.TRI_SLAB = 1024           # 4,968 tris -> 5 slabs
+        t2, ty2, ix2, data2 = pi._run(scene, o, d, 1e-3, jnp.inf)
+    finally:
+        pi.TRI_SLAB = old
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
+    hit = np.isfinite(np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
+    np.testing.assert_allclose(np.asarray(data1)[hit],
+                               np.asarray(data2)[hit], rtol=1e-5, atol=1e-5)
