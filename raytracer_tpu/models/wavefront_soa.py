@@ -519,11 +519,15 @@ DRAIN_MIN_LANES = 32768
 
 
 def _drain_sizes(n: int):
-    """Cascade level widths: n, n/2, ..., floor (256-aligned)."""
+    """Cascade level widths: n, n/2, ..., floor (256-aligned). The
+    monotonic guard matters: 256-rounding can fail to shrink near small
+    floors (e.g. floor 64 -> round256(128) = 256 forever)."""
     sizes = [n]
     while sizes[-1] > DRAIN_MIN_LANES:
-        sizes.append(max(DRAIN_MIN_LANES,
-                         -(-(sizes[-1] // 2) // 256) * 256))
+        nxt = max(DRAIN_MIN_LANES, -(-(sizes[-1] // 2) // 256) * 256)
+        if nxt >= sizes[-1]:
+            break
+        sizes.append(nxt)
     return sizes
 
 

@@ -29,3 +29,22 @@ def key():
 def _assert_cpu_mesh():
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8
+
+
+@pytest.fixture(autouse=True)
+def _reset_persistent_compilation_cache():
+    """The CLI enables the persistent XLA compilation cache via
+    jax.config in-process (cli.py --jax-cache); without a reset it stays
+    enabled for every later test, pointing at a per-test tmp dir that
+    pytest may have deleted — cache writes to a vanished dir segfault in
+    the serializer. Restore the no-cache default after each test."""
+    yield
+    if jax.config.jax_compilation_cache_dir is not None:
+        jax.config.update("jax_compilation_cache_dir", None)
+        # the config alone is not enough: jax memoizes the cache OBJECT on
+        # first use, so later compiles keep writing to the (by then
+        # pytest-GC'd) tmp dir — executable serialization into a vanished
+        # dir is what segfaulted the suite
+        from jax._src import compilation_cache as _cc
+        if hasattr(_cc, "reset_cache"):
+            _cc.reset_cache()

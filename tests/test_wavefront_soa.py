@@ -8,6 +8,7 @@ so these tests pin the two implementations together."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracer_tpu.models import path_tracer as pt
 from raytracer_tpu.models import sppm as sppm_model
@@ -169,6 +170,19 @@ def test_fused_render_matches_unfused_render():
     assert int(rays_f) == int(rays_u)
     np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """The drain-cascade tests compile the largest programs in the suite
+    (multi-level while_loops, several pallas programs each); after ~150
+    accumulated test compiles in one process, XLA:CPU segfaulted inside
+    backend_compile on exactly these programs (reproducibly, full-suite
+    only — both suite halves pass in isolation). Dropping the accumulated
+    executables first avoids whatever compiler state trips it."""
+    import jax
+    jax.clear_caches()
+    yield
 
 
 def test_regen_drain_compaction_unbiased(key):
