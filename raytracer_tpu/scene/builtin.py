@@ -150,10 +150,11 @@ def bunny_field(n_bunnies: int = 25, aspect_ratio: float = 4.0 / 3.0,
     for i in range(n_bunnies):
         gx = (i % side) - (side - 1) / 2.0
         gz = (i // side) - (side - 1) / 2.0
-        # bun315 spans roughly [-0.09, 0.06]^3 around the origin; scale 8
-        # makes each bunny ~1.2 units tall on a 2-unit grid pitch
-        m = trs_matrix((2.0 * gx, -0.26, 2.0 * gz), (8.0, 8.0, 8.0),
-                       (0.0, float(rng.uniform(0, 6.28)), 0.0))
+        # bun315 spans y in [0.033, 0.187]; scale 8 makes each bunny ~1.2
+        # units tall on a 2-unit grid pitch, feet on the ground.
+        # trs_matrix signature is (rotate_deg, scale, translate).
+        m = trs_matrix((0.0, float(rng.uniform(0.0, 360.0)), 0.0),
+                       (8.0, 8.0, 8.0), (2.0 * gx, -0.26, 2.0 * gz))
         b.add_triangles(mesh.positions, mesh.indices, mats[i % len(mats)],
                         normals=mesh.normals, transform=m)
     b.add_sphere_light((0.0, 30.0, 0.0), 10.0, (4.0, 4.0, 4.0), 60.0)
