@@ -22,7 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("render", help="render a scene to a PNG")
     r.add_argument("--scene", default="cornell",
-                   help="'cornell', 'spheres', or a data/*.json|yaml path")
+                   help="'cornell', 'spheres', 'field[:N]' (N-sphere "
+                        "stress field), 'bunnies[:N]' (N-bunny mesh "
+                        "field), or a data/*.json|yaml path")
     r.add_argument("--integrator", choices=["pt", "sppm"], default="pt",
                    help="path tracer or SPPM (the reference's algorithm)")
     r.add_argument("--width", type=int, default=800)
@@ -74,6 +76,14 @@ def load_scene_arg(name: str, aspect: float):
     if name == "spheres":
         from raytracer_tpu.scene.builtin import three_spheres
         return three_spheres(aspect_ratio=aspect)
+    if name.startswith("field"):
+        from raytracer_tpu.scene.builtin import sphere_field
+        n = int(name.split(":", 1)[1]) if ":" in name else 65536
+        return sphere_field(n, aspect_ratio=aspect)
+    if name.startswith("bunnies"):
+        from raytracer_tpu.scene.builtin import bunny_field
+        n = int(name.split(":", 1)[1]) if ":" in name else 25
+        return bunny_field(n, aspect_ratio=aspect)
     from raytracer_tpu.scene.loader import load_scene
     return load_scene(name, aspect_ratio=aspect)
 

@@ -51,3 +51,12 @@ def test_sharded_cli(tmp_path):
                "--width", "24", "--height", "24", "--spp", "4",
                "--max-depth", "4", "--sharded", "--out", out])
     assert rc == 0 and os.path.exists(out)
+
+
+def test_render_field_builtin(tmp_path):
+    out = str(tmp_path / "field.png")
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "field:512", "--integrator", "pt",
+               "--width", "24", "--height", "18", "--spp", "2",
+               "--max-depth", "3", "--out", out])
+    assert rc == 0 and os.path.exists(out)
