@@ -85,6 +85,14 @@ def main():
     (img2, rays_f2), dt_f2 = _timed(pt.render_fn, f2scene, key, **kw2)
     mrays_field2 = int(rays_f2) / dt_f2 / 1e6
 
+    # 124k-TRIANGLE mesh field (25 bunnies): the tri ordered superchunk
+    # walk + TRI_SLAB chain — the reference's "big mesh" case
+    # (bvh.rs:60-101 over mesh.rs leaves) on the dense-kernel path
+    from raytracer_tpu.scene.builtin import bunny_field
+    mscene = bunny_field(25)
+    (img3, rays_m), dt_m = _timed(pt.render_fn, mscene, key, **kw2)
+    mrays_mesh = int(rays_m) / dt_m / 1e6
+
     # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
     # 250k photons, dense photon-query kernel
     from raytracer_tpu.models import sppm
@@ -182,6 +190,8 @@ def main():
         "field64k_s_per_32spp": round(dt_f, 3),
         "mrays_field160k_slabbed": round(mrays_field2, 2),
         "field160k_s_per_8spp": round(dt_f2, 3),
+        "mrays_mesh124k": round(mrays_mesh, 2),
+        "mesh124k_s_per_8spp": round(dt_m, 3),
         "numeric_ok": not golden_failures,
         "numeric_failures": golden_failures,
         "backend": jax.default_backend(),

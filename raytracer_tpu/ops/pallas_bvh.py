@@ -388,7 +388,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     lt = scene.leaf
     if lt is None:
         raise ValueError("scene has no leaf tables; call with_leaf_tables")
-    rect, tri, tcull = pack_rect_tri(scene)  # rect/tri planes (trace-time)
+    rect, tri, tcull, _ = pack_rect_tri(scene)  # rect/tri planes (trace-time)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(

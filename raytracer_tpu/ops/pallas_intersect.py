@@ -144,13 +144,14 @@ def _morton_order(centers):
 def pack_tables(scene: Scene):
     """Pack scene tables into the kernel's component-plane layout. Empty
     tables become one fully-padded chunk whose pad values guarantee a miss.
-    Spheres are Morton-ordered; returns (sph, rect, tri, sph_cull, tri_cull,
-    sph_scull) where sph_cull/sph_scull are the (6, n_chunks)/(6, n_supers)
-    per-chunk/per-superchunk AABB tables and the sphere block carries an
-    extra original-index row (row 4+N_FEAT)."""
+    Spheres and multi-chunk tri tables are Morton-ordered; returns
+    (sph, rect, tri, sph_cull, tri_cull, sph_scull, tri_scull) where the
+    cull/scull pairs are the (6, n_chunks)/(6, n_supers) per-chunk/
+    per-superchunk AABB tables and the sphere block carries an extra
+    original-index row (row 4+N_FEAT)."""
     sph, cull, scull = _pack_spheres(scene)
-    rec, tri, tcull = pack_rect_tri(scene)
-    return sph, rec, tri, cull, tcull, scull
+    rec, tri, tcull, tscull = pack_rect_tri(scene)
+    return sph, rec, tri, cull, tcull, scull, tscull
 
 
 def _pack_spheres(scene: Scene):
@@ -253,7 +254,14 @@ def _pack_spheres(scene: Scene):
 def pack_rect_tri(scene: Scene):
     """Rect/tri component planes only (the leaf kernel packs spheres
     host-side; rebuilding the Morton-sorted sphere table per call would be
-    traced into every bounce)."""
+    traced into every bounce).
+
+    Multi-chunk tri tables get the same treatment as spheres: the chunk
+    count pads to a SUPER multiple, Morton-consecutive chunks group into
+    superchunk AABBs (``tscull``), and chunks reorder near-to-far from the
+    camera so the running best_t culls far chunks (big meshes are the one
+    tri workload where this matters — bunny_field is 124k tris).
+    Returns (rec, tri, tcull, tscull)."""
     rct = scene.rects
     n_r = rct.k.shape[0]
     if n_r:
@@ -282,6 +290,40 @@ def pack_rect_tri(scene: Scene):
         # tris = 10 chunks, and primary rays see only a few)
         centroid = tr.v0 + (tr.e1 + tr.e2) / 3.0
         order = _morton_order(centroid.astype(jnp.float32))
+        if n_t > tri_chunk:
+            # near-to-far SUPER-grouped chunk order (mirrors _pack_spheres;
+            # pad slots interleave as guaranteed-miss columns via ``keep``)
+            k_raw = -(-n_t // tri_chunk)
+            k_ch = -(-k_raw // SUPER) * SUPER
+            n_pad_t = k_ch * tri_chunk
+            v0m = tr.v0[order].astype(jnp.float32)
+            e1m = tr.e1[order].astype(jnp.float32)
+            e2m = tr.e2[order].astype(jnp.float32)
+            lo3 = jnp.minimum(jnp.minimum(v0m, v0m + e1m), v0m + e2m)
+            hi3 = jnp.maximum(jnp.maximum(v0m, v0m + e1m), v0m + e2m)
+            lo3 = jnp.pad(lo3, [(0, n_pad_t - n_t), (0, 0)],
+                          constant_values=3e38)
+            hi3 = jnp.pad(hi3, [(0, n_pad_t - n_t), (0, 0)],
+                          constant_values=-3e38)
+            clo = lo3.reshape(k_ch, tri_chunk, 3).min(1)
+            chi = hi3.reshape(k_ch, tri_chunk, 3).max(1)
+            cam = scene.camera.origin.astype(jnp.float32)
+            gap = jnp.maximum(jnp.maximum(clo - cam[None], cam[None] - chi),
+                              0.0)
+            gap2 = jnp.sum(gap * gap, -1)                     # (k_ch,)
+            sup_gap2 = jnp.min(gap2.reshape(-1, SUPER), 1)
+            sup_order = jnp.argsort(sup_gap2)
+            within = jnp.argsort(gap2.reshape(-1, SUPER), 1)
+            chunk_order = (sup_order[:, None] * SUPER
+                           + within[sup_order]).reshape(-1)
+            perm = (chunk_order[:, None] * tri_chunk
+                    + jnp.arange(tri_chunk)[None]).reshape(-1)
+            order = jnp.pad(order, (0, n_pad_t - n_t),
+                            constant_values=-1)[perm]
+            keep = order >= 0
+            order = jnp.maximum(order, 0)
+        else:
+            keep = None
         v0 = tr.v0[order]
         e1 = tr.e1[order]
         e2 = tr.e2[order]
@@ -293,20 +335,32 @@ def pack_rect_tri(scene: Scene):
         tri = jnp.concatenate(
             [x.astype(jnp.float32) for x in rows]
             + [_feature_rows(scene, tr.mat_id[order]), orig], 0)
-        tri = _pad_cols(tri, tri_chunk, 0.0)               # zeros -> div = 0
         lo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2).T
         hi = jnp.maximum(jnp.maximum(v0, v0 + e1), v0 + e2).T
+        if keep is not None:
+            # interleaved pad slots: n_geo = 0 -> div = 0 -> safe = False
+            tri = jnp.where(keep[None], tri, 0.0)
+            lo = jnp.where(keep[None], lo, 3e38)
+            hi = jnp.where(keep[None], hi, -3e38)
+        tri = _pad_cols(tri, tri_chunk, 0.0)               # zeros -> div = 0
         lo = _pad_cols(lo, tri_chunk, 3e38)
         hi = _pad_cols(hi, tri_chunk, -3e38)
         k = lo.shape[1] // tri_chunk
         tcull = jnp.concatenate([
             lo.reshape(3, k, tri_chunk).min(2),
             hi.reshape(3, k, tri_chunk).max(2)], 0)        # (6, k)
+        if k > SUPER:
+            tscull = jnp.concatenate([
+                tcull[0:3].reshape(3, k // SUPER, SUPER).min(2),
+                tcull[3:6].reshape(3, k // SUPER, SUPER).max(2)], 0)
+        else:
+            tscull = tcull
     else:
         tri = jnp.zeros((26 + N_FEAT, CHUNK), jnp.float32)
         tcull = jnp.concatenate([jnp.full((3, 1), 3e38),
                                  jnp.full((3, 1), -3e38)], 0)
-    return rec, tri, tcull
+        tscull = tcull
+    return rec, tri, tcull, tscull
 
 
 # ----------------------------------------------------------------- kernel
@@ -484,7 +538,7 @@ def _tile_chunk_order(o, alive, scull):
     scalar prefetch (4 ids per i32 word).
 
     The gap math (tile alive-origin AABB vs superchunk AABB) mirrors
-    ``sphere_stage_ordered`` exactly: min/max/sub are rounding-free given
+    ``stage_ordered`` exactly: min/max/sub are rounding-free given
     identical operands and the squared sum uses the same term order, so
     the kernel's recomputed gap agrees with this ordering bit-for-bit.
     Returns (words (G*W,) i32, W)."""
@@ -508,12 +562,15 @@ def _tile_chunk_order(o, alive, scull):
     return words.reshape(-1), w
 
 
-def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
-                         cull_ref, tile, *, w_words: int, k_ch: int,
-                         chunk: int):
+def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
+                  cull_ref, tile, *, w_words: int, k_ch: int,
+                  word_base: int = 0, cull_base: int = 0):
     """Per-tile distance-ordered dynamic SUPERCHUNK walk — the dense
-    kernel's O(chunks-actually-reachable) mode for large fields (the
-    answer to bvh.rs:60-101 at 16k+ primitives).
+    kernel's O(chunks-actually-reachable) mode for large tables (the
+    answer to bvh.rs:60-101 at 16k+ primitives). Generic over the
+    primitive test: ``chunk_fold(carry, idx)`` folds chunk ``idx`` (a
+    traced i32) of the stage's own VMEM table; sphere fields and big
+    triangle meshes share the walk.
 
     Granularity matters: all per-walk-step math runs on (T,1) column
     vectors (1/128 VPU lane utilization) plus cross-sublane reductions, so
@@ -536,8 +593,10 @@ def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
     wavefronts). ``tile`` is the program id, hoisted by the caller
     (pl.program_id inside lax.cond has no interpret-mode lowering).
 
-    ``cull_ref`` is the flattened [chunk culls (6*k_ch) | super culls
-    (6*k_sup)] SMEM table; ``k_ch`` chunks must be a SUPER multiple."""
+    ``cull_ref`` holds this stage's flattened [chunk culls (6*k_ch) |
+    super culls (6*k_sup)] starting at ``cull_base`` (stages share one
+    SMEM table); ``order_ref`` likewise holds this stage's words at
+    ``word_base``. ``k_ch`` chunks must be a SUPER multiple."""
     k_sup = k_ch // SUPER
     am = alive > 0.5
     tlo_x = jnp.min(jnp.where(am, rv.ox, BIG))
@@ -547,7 +606,8 @@ def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
     thi_y = jnp.max(jnp.where(am, rv.oy, -BIG))
     thi_z = jnp.max(jnp.where(am, rv.oz, -BIG))
     d_len = jnp.sqrt(rv.a)                                    # (T,1)
-    sbase = 6 * k_ch
+    cbase = cull_base
+    sbase = cull_base + 6 * k_ch
 
     def cond(state):
         pos, done = state[0], state[1]
@@ -555,7 +615,7 @@ def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
 
     def body(state):
         pos, _, nbod, c0, c1, c2, c3 = state
-        word = order_ref[tile * w_words + pos // 4]
+        word = order_ref[word_base + tile * w_words + pos // 4]
         sidx = (word >> (8 * (pos % 4))) & 0xFF
         lox = cull_ref[sbase + sidx]
         loy = cull_ref[sbase + k_sup + sidx]
@@ -585,20 +645,17 @@ def sphere_stage_ordered(carry, rv: RayVals, alive, sph_ref, order_ref,
                 nbod, c = state[0], state[1:]
                 for m in range(SUPER):
                     idx = sidx * SUPER + m
-                    mlox = cull_ref[idx]
-                    mloy = cull_ref[k_ch + idx]
-                    mloz = cull_ref[2 * k_ch + idx]
-                    mhix = cull_ref[3 * k_ch + idx]
-                    mhiy = cull_ref[4 * k_ch + idx]
-                    mhiz = cull_ref[5 * k_ch + idx]
+                    mlox = cull_ref[cbase + idx]
+                    mloy = cull_ref[cbase + k_ch + idx]
+                    mloz = cull_ref[cbase + 2 * k_ch + idx]
+                    mhix = cull_ref[cbase + 3 * k_ch + idx]
+                    mhiy = cull_ref[cbase + 4 * k_ch + idx]
+                    mhiz = cull_ref[cbase + 5 * k_ch + idx]
                     slab = _tile_slab_any_vals(
                         rv, mlox, mloy, mloz, mhix, mhiy, mhiz, c[0])
 
                     def chunk_body(c, idx=idx):
-                        j0 = pl.multiple_of(idx * chunk, chunk)
-                        return _sphere_chunk_fold(
-                            c, rv, sph_ref[:, pl.ds(j0, chunk)],
-                            (idx * chunk).astype(jnp.float32))
+                        return chunk_fold(c, idx)
 
                     c = jax.lax.cond(slab, chunk_body, lambda c: c, c)
                     nbod = nbod + slab.astype(jnp.int32)
@@ -658,54 +715,53 @@ def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
     return carry
 
 
-def tri_stage(carry, rv: RayVals, tri_ref, tcull_ref, n_tri: int):
-    """Chunk-culled scalar-triple-product Möller–Trumbore (mesh.rs:57-98
-    semantics). Triangles are Morton-ordered with per-chunk AABBs
-    (tcull_ref), so mesh chunks a ray's slab misses are cond-skipped like
-    the sphere chunks."""
+def _tri_oxd(rv: RayVals):
+    """o x d cross-product columns shared by every tri chunk body."""
+    return (rv.oy * rv.dz - rv.oz * rv.dy,
+            rv.oz * rv.dx - rv.ox * rv.dz,
+            rv.ox * rv.dy - rv.oy * rv.dx)
+
+
+def _tri_chunk_fold(c, rv: RayVals, oxd, blk, base):
+    """One tri chunk's scalar-triple-product Möller–Trumbore tests + fold
+    (mesh.rs:57-98 semantics). ``blk`` is the loaded (rows, C) table slice;
+    ``base`` the chunk's first column (python float for the static walk,
+    traced f32 scalar for the ordered walk)."""
+    oxd_x, oxd_y, oxd_z = oxd
     ox, oy, oz, dx, dy, dz = rv.ox, rv.oy, rv.oz, rv.dx, rv.dy, rv.dz
-    oxd_x = oy * dz - oz * dy                                   # (T,1)
-    oxd_y = oz * dx - ox * dz
-    oxd_z = ox * dy - oy * dx
+    pr = [blk[r:r + 1, :] for r in range(16)]
+    (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
+     w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr
+    div = -(dx * ngx + dy * ngy + dz * ngz)
+    safe = div != 0.0
+    inv = 1.0 / jnp.where(safe, div, 1.0)
+    b1 = ((oxd_x * e2x + oxd_y * e2y + oxd_z * e2z)
+          - (dx * w2x + dy * w2y + dz * w2z)) * inv
+    b2 = (-(oxd_x * e1x + oxd_y * e1y + oxd_z * e1z)
+          + (dx * w1x + dy * w1y + dz * w1z)) * inv
+    t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
+    ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
+          & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
+    # winner slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz | feats | orig];
+    # the barycentrics are per-pair computed -> VPU reductions
+    return _fold(c, t, ok, base, PRIM_TRIANGLE, blk[16:, :],
+                 list(range(2, 11))
+                 + list(range(N_GEO_SLOTS, N_SLOTS)) + [14],
+                 [(0, b1), (1, b2)])
+
+
+def tri_stage(carry, rv: RayVals, tri_ref, tcull_ref, n_tri: int):
+    """Chunk-culled Möller–Trumbore (mesh.rs:57-98 semantics). Triangles
+    are Morton-ordered with per-chunk AABBs (tcull_ref), so mesh chunks a
+    ray's slab misses are cond-skipped like the sphere chunks."""
+    oxd = _tri_oxd(rv)
     chunk = eff_chunk(n_tri, CHUNK)
     for j in range(0, n_tri, chunk):
-        jc = j // chunk
-        t0x = (tcull_ref[0, jc] - ox) * rv.inv_dx
-        t1x = (tcull_ref[3, jc] - ox) * rv.inv_dx
-        t0y = (tcull_ref[1, jc] - oy) * rv.inv_dy
-        t1y = (tcull_ref[4, jc] - oy) * rv.inv_dy
-        t0z = (tcull_ref[2, jc] - oz) * rv.inv_dz
-        t1z = (tcull_ref[5, jc] - oz) * rv.inv_dz
-        enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
-        leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.minimum(jnp.maximum(t0z, t1z),
-                                        jnp.minimum(carry[0], rv.tmax)))
-        any_hit = jnp.any(enter <= leave)
+        any_hit = _tile_slab_any(rv, tcull_ref, j // chunk, carry[0])
 
         def chunk_body(c, j=j):
-            pr = [tri_ref[r:r + 1, j:j + chunk] for r in range(16)]
-            (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
-             w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr
-            div = -(dx * ngx + dy * ngy + dz * ngz)
-            safe = div != 0.0
-            inv = 1.0 / jnp.where(safe, div, 1.0)
-            b1 = ((oxd_x * e2x + oxd_y * e2y + oxd_z * e2z)
-                  - (dx * w2x + dy * w2y + dz * w2z)) * inv
-            b2 = (-(oxd_x * e1x + oxd_y * e1y + oxd_z * e1z)
-                  + (dx * w1x + dy * w1y + dz * w1z)) * inv
-            t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
-            ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
-                  & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
-            # winner slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz | feats | orig];
-            # the barycentrics are per-pair computed -> VPU reductions
-            return _fold(c, t, ok, float(j), PRIM_TRIANGLE,
-                         tri_ref[16:, j:j + chunk],
-                         list(range(2, 11))
-                         + list(range(N_GEO_SLOTS, N_SLOTS)) + [14],
-                         [(0, b1), (1, b2)])
+            return _tri_chunk_fold(c, rv, oxd, tri_ref[:, j:j + chunk],
+                                   float(j))
 
         carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
     return carry
@@ -749,25 +805,58 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
 
 def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
                             tmax_ref, alive_ref, sph_ref, rect_ref, tri_ref,
-                            tcull_ref, t_out, ty_out, ix_out, data_out,
-                            *stats_out, n_rect: int, n_tri: int,
-                            w_words: int, k_ch: int, chunk: int):
-    """Ordered-walk twin of _closest_kernel: the sphere stage runs the
-    per-tile dynamic near-to-far chunk walk instead of the static scan.
+                            cull_ref, tcull_ref, scull_ref,
+                            t_out, ty_out, ix_out, data_out,
+                            *stats_out, n_sph: int, n_rect: int, n_tri: int,
+                            sph_cfg, tri_cfg):
+    """Ordered-walk twin of _closest_kernel: each big stage (spheres and/or
+    triangles) runs the per-tile dynamic near-to-far superchunk walk
+    instead of the static scan; stages below the ordering threshold keep
+    the static path (their VMEM cull tables ride along regardless — they
+    are (6, k) slivers). ``sph_cfg``/``tri_cfg`` are static
+    (w_words, k_ch, chunk, word_base, cull_base) tuples or None.
     With ORDER_STATS, two extra outputs carry the per-tile walk length and
-    chunk-body count (broadcast across the tile's lanes)."""
+    chunk-body count summed over ordered stages (broadcast across lanes)."""
     rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
     alive = alive_ref[:]
     any_alive = jnp.any(alive > 0.5)
     tile = pl.program_id(0)
 
     def live(state):
-        carry, _, _ = state
-        carry, walked, nbod = sphere_stage_ordered(
-            carry, rv, alive, sph_ref, order_ref, cullf_ref, tile,
-            w_words=w_words, k_ch=k_ch, chunk=chunk)
+        carry, walked, nbod = state
+        if sph_cfg is not None:
+            w_words, k_ch, chunk, wb, cb = sph_cfg
+
+            def sph_fold(c, idx, chunk=chunk):
+                j0 = pl.multiple_of(idx * chunk, chunk)
+                return _sphere_chunk_fold(
+                    c, rv, sph_ref[:, pl.ds(j0, chunk)],
+                    (idx * chunk).astype(jnp.float32))
+
+            carry, w, b = stage_ordered(
+                carry, rv, alive, sph_fold, order_ref, cullf_ref, tile,
+                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb)
+            walked, nbod = walked + w, nbod + b
+        else:
+            carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
+                                 scull_ref=scull_ref)
         carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
+        if tri_cfg is not None:
+            w_words, k_ch, chunk, wb, cb = tri_cfg
+            oxd = _tri_oxd(rv)
+
+            def tri_fold(c, idx, chunk=chunk):
+                j0 = pl.multiple_of(idx * chunk, chunk)
+                return _tri_chunk_fold(
+                    c, rv, oxd, tri_ref[:, pl.ds(j0, chunk)],
+                    (idx * chunk).astype(jnp.float32))
+
+            carry, w, b = stage_ordered(
+                carry, rv, alive, tri_fold, order_ref, cullf_ref, tile,
+                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb)
+            walked, nbod = walked + w, nbod + b
+        else:
+            carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry, walked, nbod
 
     z = jnp.int32(0)
@@ -782,7 +871,7 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
 def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
-                 scull, *, n_sph, n_rect, n_tri, interpret):
+                 scull, tscull, *, n_sph, n_rect, n_tri, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -797,17 +886,28 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
     k_ch = cull.shape[1]
     k_sup = k_ch // SUPER
+    tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
+    tk_ch = tcull.shape[1]
+    tk_sup = tk_ch // SUPER
     n_tiles = n_pad // TILE
-    ordered = (k_ch >= ORDER_MIN_CHUNKS
+    sph_ord = (n_sph > 0 and k_ch >= ORDER_MIN_CHUNKS
                and k_ch % SUPER == 0 and k_sup <= ORDER_MAX_CHUNKS
                and n_sph == k_ch * sph_chunk
-               and scull.shape[1] == k_sup
-               and n_tiles * (-(-k_sup // 4)) * 4 <= ORDER_SMEM_BUDGET)
-    if ordered:
+               and scull.shape[1] == k_sup)
+    tri_ord = (n_tri > 0 and tk_ch >= ORDER_MIN_CHUNKS
+               and tk_ch % SUPER == 0 and tk_sup <= ORDER_MAX_CHUNKS
+               and n_tri == tk_ch * tri_chunk
+               and tscull.shape[1] == tk_sup)
+    smem_words = ((-(-k_sup // 4) if sph_ord else 0)
+                  + (-(-tk_sup // 4) if tri_ord else 0))
+    if n_tiles * smem_words * 4 > ORDER_SMEM_BUDGET:
+        sph_ord = tri_ord = False
+    if sph_ord or tri_ord:
         return _call_kernel_ordered(
             o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
-            n_rect=n_rect, n_tri=n_tri, k_ch=k_ch, chunk=sph_chunk,
-            interpret=interpret, n=n)
+            tscull, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
+            sph_ord=sph_ord, tri_ord=tri_ord, sph_chunk=sph_chunk,
+            tri_chunk=tri_chunk, interpret=interpret, n=n)
     tmin = tmin[:, None]
     tmax = tmax[:, None]
     alive = alive[:, None]
@@ -856,25 +956,45 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
 
 
 def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
-                         tcull, scull, *, n_rect, n_tri, k_ch, chunk,
+                         tcull, scull, tscull, *, n_sph, n_rect, n_tri,
+                         sph_ord, tri_ord, sph_chunk, tri_chunk,
                          interpret, n):
     """Ordered-walk pallas call (inputs pre-padded to a TILE multiple).
-    The per-tile superchunk order + the flattened chunk+super cull tables
-    ride scalar prefetch into SMEM; sphere work is bounded by chunks a
-    tile can actually reach instead of the whole table."""
+    Each ordered stage's per-tile superchunk order + flattened chunk+super
+    cull tables ride scalar prefetch into SMEM (concatenated, with static
+    word/cull base offsets in the stage configs); stage work is bounded by
+    chunks a tile can actually reach instead of the whole table."""
     n_pad = o.shape[0]
-    words, w_words = _tile_chunk_order(o, alive, scull)
+    words_parts, cull_parts = [], []
+    sph_cfg = tri_cfg = None
+    word_base = cull_base = 0
+    if sph_ord:
+        k_ch = cull.shape[1]
+        words, w_words = _tile_chunk_order(o, alive, scull)
+        sph_cfg = (w_words, k_ch, sph_chunk, 0, 0)
+        words_parts.append(words)
+        cull_parts += [cull.reshape(-1), scull.reshape(-1)]
+        word_base = words.shape[0]
+        cull_base = 6 * (k_ch + scull.shape[1])
+    if tri_ord:
+        tk_ch = tcull.shape[1]
+        twords, tw_words = _tile_chunk_order(o, alive, tscull)
+        tri_cfg = (tw_words, tk_ch, tri_chunk, word_base, cull_base)
+        words_parts.append(twords)
+        cull_parts += [tcull.reshape(-1), tscull.reshape(-1)]
     tmin = tmin[:, None]
     tmax = tmax[:, None]
     alive = alive[:, None]
 
     grid = (n_pad // TILE,)
-    kernel = functools.partial(_closest_kernel_ordered, n_rect=n_rect,
-                               n_tri=n_tri, w_words=w_words, k_ch=k_ch,
-                               chunk=chunk)
+    kernel = functools.partial(_closest_kernel_ordered, n_sph=n_sph,
+                               n_rect=n_rect, n_tri=n_tri,
+                               sph_cfg=sph_cfg, tri_cfg=tri_cfg)
     # cost model: a tile visits a handful of chunks after the first bounce;
-    # charge ~1/8 of the dense sphere scan plus the full rect/tri stages
-    flops_per_ray = 40 * k_ch * chunk // 8 + 60 * n_rect + 80 * n_tri
+    # charge ~1/8 of each ordered stage's dense scan plus full static stages
+    flops_per_ray = ((40 * n_sph // 8 if sph_ord else 40 * n_sph)
+                     + 60 * n_rect
+                     + (80 * n_tri // 8 if tri_ord else 80 * n_tri))
     rs = lambda w: pl.BlockSpec((TILE, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
     n_stats = 2 if ORDER_STATS else 0
@@ -884,7 +1004,7 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[rs(3), rs(3), rs(1), rs(1), rs(1)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=[rs(1), rs(1), rs(1), rs(N_SLOTS)]
             + [rs(1)] * n_stats),
         out_shape=[
@@ -895,10 +1015,10 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
         ] + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)] * n_stats,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
-            transcendentals=n_pad * chunk),
+            transcendentals=n_pad * max(sph_chunk, tri_chunk)),
         interpret=interpret,
-    )(words, jnp.concatenate([cull.reshape(-1), scull.reshape(-1)]),
-      o, d, tmin, tmax, alive, sph, rect, tri, tcull)
+    )(jnp.concatenate(words_parts), jnp.concatenate(cull_parts),
+      o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull)
     t, ty, ix, data = out[:4]
     stats = (tuple(s[::TILE, 0] for s in out[4:]) if n_stats else None)
     t = t[:n, 0]
@@ -1003,7 +1123,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     if (scene.spheres.radius.shape[0] > SPH_SLAB
             or scene.triangles.mat_id.shape[0] > TRI_SLAB):
         return _run_slabbed(scene, o, d, t_min, t_max, alive)
-    sph, rect, tri, cull, tcull, scull = pack_tables(scene)
+    sph, rect, tri, cull, tcull, scull, tscull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
@@ -1014,7 +1134,7 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     # empty tables are padded to one dummy always-miss chunk; skip their
     # stages entirely (a dummy chunk costs as much as a real one)
     t, ty, ix, data, stats = _call_kernel(
-        o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
+        o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull, tscull,
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
@@ -1329,7 +1449,7 @@ def bounce_fused(scene: Scene, o, d, t_min, alive, uni):
     and spawn_eps broadcast in col 5. Returns
     (inter (N,) i32, new_o (N,3), new_d (N,3), att (N,3), emit (N,3),
     p (N,3), n (N,3))."""
-    sph, rect, tri, cull, tcull, scull = pack_tables(scene)
+    sph, rect, tri, cull, tcull, scull, _tscull = pack_tables(scene)
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     uni = jnp.pad(uni, [(0, 0), (0, 2)])  # (N, 8): lane-pad for VMEM

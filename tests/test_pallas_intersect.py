@@ -77,7 +77,7 @@ def test_pallas_respects_tmax():
 
 def test_ordered_walk_matches_static_and_brute():
     """Large sphere tables route through the per-tile ordered superchunk
-    walk (pallas_intersect.sphere_stage_ordered). Its winners must be
+    walk (pallas_intersect.stage_ordered). Its winners must be
     bit-identical to the static two-level scan and agree with the XLA
     brute force — including lanes marked dead and grazing tmax cases."""
     import raytracer_tpu.ops.pallas_intersect as pi
@@ -106,6 +106,83 @@ def test_ordered_walk_matches_static_and_brute():
     t1, t2 = np.asarray(h_ord.t)[a], np.asarray(h_st.t)[a]
     assert ((t1 == t2) | (np.isinf(t1) & np.isinf(t2))).all()
     assert (np.asarray(h_ord.prim_idx)[a] == np.asarray(h_st.prim_idx)[a]).all()
+
+
+def _bunny_scene(extra_spheres=0):
+    from raytracer_tpu.scene.builder import trs_matrix
+    from raytracer_tpu.utils.obj import load_obj
+    mesh = load_obj(os.path.join(DATA, "mesh", "bun315.obj"))
+    b = SceneBuilder()
+    white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
+    b.add_triangles(mesh.positions, mesh.indices, white,
+                    normals=mesh.normals,
+                    transform=trs_matrix((0, 0, 0), (20, 20, 20), (0, 0, 0)))
+    b.add_sphere((0.0, -1000.0, 0.0), 998.0, white)
+    if extra_spheres:
+        rng = np.random.default_rng(3)
+        c = rng.uniform(-4, 4, (extra_spheres, 3)).astype(np.float32)
+        r = rng.uniform(0.02, 0.08, extra_spheres).astype(np.float32)
+        for i in range(extra_spheres):
+            b.add_sphere(tuple(c[i]), float(r[i]), white)
+    return b.compile()
+
+
+def _force_static(pi, scene, o, d, alive):
+    old = pi.ORDER_MIN_CHUNKS
+    pi.ORDER_MIN_CHUNKS = 10 ** 9
+    pi._call_kernel._clear_cache()
+    try:
+        return intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    finally:
+        pi.ORDER_MIN_CHUNKS = old
+        pi._call_kernel._clear_cache()
+
+
+def _assert_walks_equal(h_ord, h_st, alive):
+    a = np.asarray(alive) > 0.5
+    t1, t2 = np.asarray(h_ord.t)[a], np.asarray(h_st.t)[a]
+    assert ((t1 == t2) | (np.isinf(t1) & np.isinf(t2))).all()
+    assert (np.asarray(h_ord.prim_idx)[a] == np.asarray(h_st.prim_idx)[a]).all()
+
+
+def test_tri_ordered_walk_matches_static_and_brute():
+    """Multi-chunk tri tables (bun315 = 4,968 tris -> 16 padded chunks)
+    route through the same per-tile ordered superchunk walk as sphere
+    fields; winners must be bit-identical to the static chunk scan and
+    agree with the XLA brute force."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+
+    scene = _bunny_scene()
+    assert pi.ORDER_MIN_CHUNKS <= 16  # tri ordered route on for the bunny
+    rng = np.random.default_rng(11)
+    n = 768
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    alive = jnp.asarray((rng.uniform(size=n) > 0.15), jnp.float32)
+
+    h_ord = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    check_agreement(scene, o, d)
+    h_st = _force_static(pi, scene, o, d, alive)
+    _assert_walks_equal(h_ord, h_st, alive)
+
+
+def test_both_stages_ordered_matches_static():
+    """Spheres AND triangles ordered in the same kernel call: the tri
+    stage's word/cull base offsets into the shared SMEM tables must not
+    alias the sphere stage's (20k spheres -> 24 padded chunks ordered;
+    bunny -> 16 tri chunks ordered)."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+
+    scene = _bunny_scene(extra_spheres=20000)
+    rng = np.random.default_rng(13)
+    n = 768
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    alive = jnp.asarray((rng.uniform(size=n) > 0.15), jnp.float32)
+
+    h_ord = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    h_st = _force_static(pi, scene, o, d, alive)
+    _assert_walks_equal(h_ord, h_st, alive)
 
 
 def test_slabbed_run_matches_single(key):
