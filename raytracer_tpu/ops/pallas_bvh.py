@@ -304,8 +304,7 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     # ran at 16-bit gather precision) with the FULL nearest-root-in-range
     # rule. If the exact test rejects the rounded candidate (disc < 0 or
     # both roots out of range — grazing rays near the bf16 threshold), the
-    # leaf winner is demoted entirely so the dense-stage result stands
-    # rather than reporting a phantom hit.
+    # lane takes the rescue scan below instead of reporting a phantom hit.
     wcx, wcy, wcz, wcsq = win[:, 0:1], win[:, 1:2], win[:, 2:3], win[:, 3:4]
     hb = rv.o_dot_d - (rv.dx * wcx + rv.dy * wcy + rv.dz * wcz)
     ct = rv.o_sq - 2.0 * (rv.ox * wcx + rv.oy * wcy + rv.oz * wcz) + wcsq
@@ -316,8 +315,58 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
     ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
     t_exact = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+    reject = leaf_won & ~((disc >= 0.0) & (t_exact < BIG))
     leaf_won = leaf_won & (disc >= 0.0) & (t_exact < BIG)
     lt = jnp.where(leaf_won, t_exact, lt)
+
+    # Rescue pass (ADVICE r2 phantom-miss edge): a rejected bf16 winner may
+    # have shadowed a genuine hit — in the same leaf, another leaf, or a
+    # leaf the walk culled against the phantom t. Re-scan the FULL
+    # small-sphere f32 table with the exact recheck math (bounded by the
+    # dense-stage best, strict < like the candidate fold) and extract that
+    # winner's record. Runs only when the tile actually has a rejection.
+    def rescue(args):
+        fl_t, fl_col, _ = args
+        kw_all = table_ref.shape[1]                       # L_ALIGN*32-mult
+        for j in range(0, kw_all, 1024):
+            w_j = min(1024, kw_all - j)
+            blk = table_ref[:, j:j + w_j]
+            bcx, bcy, bcz = blk[0:1], blk[1:2], blk[2:3]
+            bcsq = blk[3:4]
+            bhb = rv.o_dot_d - (rv.dx * bcx + rv.dy * bcy + rv.dz * bcz)
+            bct = (rv.o_sq - 2.0 * (rv.ox * bcx + rv.oy * bcy + rv.oz * bcz)
+                   + bcsq)
+            bdd = bhb * bhb - rv.a * bct
+            bsq = jnp.sqrt(jnp.maximum(bdd, 0.0))
+            q1 = (-bhb - bsq) * rv.inv_a
+            q2 = (-bhb + bsq) * rv.inv_a
+            o1 = (q1 >= rv.tmin) & (q1 <= rv.tmax)
+            o2 = (q2 >= rv.tmin) & (q2 <= rv.tmax)
+            tt = jnp.where(o1, q1, jnp.where(o2, q2, BIG))
+            tt = jnp.where(bdd >= 0.0, tt, BIG)
+            m = jnp.min(tt, axis=1, keepdims=True)
+            cc = jax.lax.broadcasted_iota(
+                jnp.int32, tt.shape, 1).astype(jnp.float32)
+            mc = jnp.min(jnp.where(tt <= m, cc, BIG), axis=1,
+                         keepdims=True) + float(j)
+            better = m < fl_t
+            fl_t = jnp.where(better, m, fl_t)
+            fl_col = jnp.where(better, mc, fl_col)
+        oh2 = jnp.where(colf == fl_col, 1.0, 0.0)
+        win2 = jax.lax.dot_general(oh2, table_ref[:, :],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        return fl_t, fl_col, win2
+
+    fl0 = (best_t, jnp.full_like(best_t, -1.0), jnp.zeros_like(win))
+    fl_t, fl_col, win2 = jax.lax.cond(jnp.any(reject), rescue,
+                                      lambda a: a, fl0)
+    rescued = reject & (fl_col >= 0.0)
+    leaf_won = leaf_won | rescued
+    lt = jnp.where(rescued, fl_t, lt)
+    lcol = jnp.where(rescued, fl_col + 1.0, lcol)
+    win = jnp.where(rescued, win2, win)
 
     leaf_data = jnp.concatenate([
         win[:, 0:4],                                  # slots 0-3: geometry

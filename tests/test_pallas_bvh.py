@@ -139,6 +139,57 @@ def test_leaf_respects_tmax_tmin():
     np.testing.assert_allclose(float(h.t[0]), 3.6, rtol=1e-5)
 
 
+def test_leaf_grazing_phantom_rescue():
+    """bf16 candidate false-positives on grazing rays must not shadow a
+    genuine hit behind them (ADVICE r2 phantom-miss edge: the exact f32
+    recheck rejects the rounded winner; the rescue scan must then find the
+    sphere the phantom out-ranked instead of demoting the lane to a miss).
+
+    256 (front, back) sphere pairs; every ray passes OUTSIDE its front
+    sphere by a relative margin in [1e-6, 3e-5] — decisive at f32, inside
+    the ~8e-6 bf16 candidate rounding band — and squarely hits the back
+    sphere. Truth for every lane: the back sphere."""
+    b = SceneBuilder()
+    m = b.lambertian(b.constant_texture((1, 1, 1)))
+    npairs, r_front, r_back = 256, 0.3, 0.5
+    # jittered half-integer grid: bf16-exact coordinates never flip, jitter
+    # makes the two-term bf16 split round — this seed produces ~70 candidate
+    # false-positives across the margin sweep (verified by emulating the
+    # kernel's hi+mid gather arithmetic)
+    rng = np.random.default_rng(0)
+    xs = ((np.arange(npairs) % 16) - 7.5) + rng.uniform(-0.3, 0.3, npairs)
+    ys = ((np.arange(npairs) // 16) - 7.5) + rng.uniform(-0.3, 0.3, npairs)
+    for i in range(npairs):
+        b.add_sphere((float(xs[i]), float(ys[i]), -5.0), r_front, m)
+        b.add_sphere((float(xs[i]), float(ys[i]), -9.0), r_back, m)
+    scene = b.compile()
+    scene = scene._replace(leaf=build_leaf_tables(scene))
+
+    margins = np.geomspace(1e-5, 5e-3, npairs)
+    bpar = r_front * (1.0 + margins)                  # just OUTSIDE front
+    o = np.stack([xs + bpar, ys, np.zeros(npairs)], -1).astype(np.float32)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (npairs, 1))
+    h = intersect_leaf(scene, jnp.asarray(o), jnp.asarray(d), 1e-3, jnp.inf)
+    t = np.asarray(h.t)
+    # THE regression: a rejected bf16 front-winner used to demote the lane
+    # entirely -> inf (nothing else in the dense stage). Every ray hits the
+    # back sphere, so no lane may miss.
+    assert np.isfinite(t).all(), (
+        f"{(~np.isfinite(t)).sum()} phantom misses (rescue failed)")
+    t_back = 9.0 - np.sqrt(r_back ** 2 - bpar ** 2)
+    # back hits land in [8.5, 9.0); front-layer hits in (4.6, 5.0] — either
+    # exact-form boundary accepts at the smallest margins or genuine clips
+    # of a jitter-neighbor's sphere (both layers overlap ray columns)
+    is_front = (t > 4.6) & (t < 5.01)
+    is_back = (t > 8.45) & (t < 9.0)
+    assert (is_back | is_front).all()
+    assert is_back.mean() > 0.5
+    # back winners carry a back sphere's id (odd insertion index)
+    assert (np.asarray(h.prim_idx)[is_back] % 2 == 1).all()
+    # most back hits are the ray's own pair at the analytic t
+    assert (is_back & (np.abs(t - t_back) < 1e-3)).mean() > 0.4
+
+
 def test_with_leaf_tables_policy():
     small = cornell_box(with_mesh=False)
     assert with_leaf_tables(small).leaf is None          # too few spheres
