@@ -73,6 +73,27 @@ def test_spp_axis_psum_equivalence(key):
     assert int(rays) >= 16 * 16 * 8
 
 
+def test_sharded_ordered_walk_runs(key):
+    """The per-tile ordered superchunk walk (large sphere tables route it
+    by default) must compile and run under shard_map — the per-shard order
+    build (argsort + byte pack) and the scalar-prefetch pallas call both
+    see manual-axes-typed values here, which no other sharded test covers
+    (their small scenes take the static path)."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.scene.builtin import sphere_field
+
+    scene = sphere_field(20000, aspect_ratio=32 / 24)
+    assert pi.ORDER_MIN_CHUNKS <= 20000 // pi.SPH_CHUNK  # ordered route on
+    c = cfg(width=32, height=24, samples_per_pixel=2, spp_chunk=1,
+            max_depth=3)
+    mesh = prender.make_mesh(n_px=8, n_spp=1)
+    img, rays = prender.render(scene, c, key, mesh)
+    img = np.asarray(img)
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all() and img.max() > 0.01
+    assert int(rays) > 0
+
+
 def test_pixel_padding_nondivisible(key):
     """npix not divisible by n_px exercises the pad path."""
     scene = three_spheres(aspect_ratio=30 / 22)
