@@ -76,14 +76,20 @@ def load_scene_arg(name: str, aspect: float):
     if name == "spheres":
         from raytracer_tpu.scene.builtin import three_spheres
         return three_spheres(aspect_ratio=aspect)
-    if name.startswith("field"):
+    def _count(default: int) -> int:
+        if ":" not in name:
+            return default
+        try:
+            return int(name.split(":", 1)[1])
+        except ValueError:
+            raise SystemExit(
+                f"--scene {name!r}: expected an integer after ':'")
+    if name == "field" or name.startswith("field:"):
         from raytracer_tpu.scene.builtin import sphere_field
-        n = int(name.split(":", 1)[1]) if ":" in name else 65536
-        return sphere_field(n, aspect_ratio=aspect)
-    if name.startswith("bunnies"):
+        return sphere_field(_count(65536), aspect_ratio=aspect)
+    if name == "bunnies" or name.startswith("bunnies:"):
         from raytracer_tpu.scene.builtin import bunny_field
-        n = int(name.split(":", 1)[1]) if ":" in name else 25
-        return bunny_field(n, aspect_ratio=aspect)
+        return bunny_field(_count(25), aspect_ratio=aspect)
     from raytracer_tpu.scene.loader import load_scene
     return load_scene(name, aspect_ratio=aspect)
 

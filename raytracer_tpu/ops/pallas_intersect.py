@@ -154,53 +154,70 @@ def pack_tables(scene: Scene):
     return sph, rec, tri, cull, tcull, scull, tscull
 
 
+def _order_chunks_near_to_far(order, lo3, hi3, chunk, cam):
+    """Shared sphere/tri chunk-ordering machinery.
+
+    Near-to-far CHUNK order from the camera: the kernel's per-chunk cull
+    bounds `leave` by each ray's running best_t, so chunks processed after
+    the first hit mostly cull — IF a near chunk came first to shrink
+    best_t. Morton gives spatially-compact chunks; sorting those chunks by
+    camera distance makes the scan effectively early-exit for primary
+    (and, via the origin side of the slab test, most secondary) rays.
+    Large dense tables go from O(N) to ~O(chunks actually touched) per ray
+    (round-3 cliff work; reference bar: bvh.rs:60-101).
+
+    Pads the chunk count to a SUPER multiple so the kernel's two-level
+    cull has static shape (pad chunks are all-miss with inverted AABBs);
+    supers = consecutive Morton chunks, ordered near-to-far, members
+    near-to-far within. ``order`` is the Morton primitive order;
+    ``lo3``/``hi3`` are its (n, 3) per-primitive AABB corners (spheres
+    pass centers for both — ordering only). Returns (order, keep) with
+    pad slots clamped to index 0 and flagged False in ``keep``."""
+    n = order.shape[0]
+    k_raw = -(-n // chunk)
+    k_ch = -(-k_raw // SUPER) * SUPER
+    n_pad = k_ch * chunk
+    lo3 = jnp.pad(lo3.astype(jnp.float32), [(0, n_pad - n), (0, 0)],
+                  constant_values=3e38)
+    hi3 = jnp.pad(hi3.astype(jnp.float32), [(0, n_pad - n), (0, 0)],
+                  constant_values=-3e38)
+    clo = lo3.reshape(k_ch, chunk, 3).min(1)
+    chi = hi3.reshape(k_ch, chunk, 3).max(1)
+    gap = jnp.maximum(jnp.maximum(clo - cam[None], cam[None] - chi), 0.0)
+    gap2 = jnp.sum(gap * gap, -1)                             # (k_ch,)
+    sup_gap2 = jnp.min(gap2.reshape(-1, SUPER), 1)
+    sup_order = jnp.argsort(sup_gap2)                         # (k_sup,)
+    within = jnp.argsort(gap2.reshape(-1, SUPER), 1)          # (k_sup, 8)
+    chunk_order = (sup_order[:, None] * SUPER
+                   + within[sup_order]).reshape(-1)           # (k_ch,)
+    perm = (chunk_order[:, None] * chunk
+            + jnp.arange(chunk)[None]).reshape(-1)
+    order = jnp.pad(order, (0, n_pad - n), constant_values=-1)[perm]
+    # pad slots (order == -1) must become always-miss columns downstream,
+    # keyed off the returned mask
+    return jnp.maximum(order, 0), order >= 0
+
+
+def _wants_order(n: int, chunk: int) -> bool:
+    """SUPER-pad + camera-order a multi-chunk table only when the padded
+    chunk count can actually take the ordered walk; smaller tables keep
+    the plain Morton layout (no pad chunks, static scan)."""
+    k_ch = -(-(-(-n // chunk)) // SUPER) * SUPER
+    return n > chunk and ORDER_MIN_CHUNKS <= k_ch and (
+        k_ch // SUPER) <= ORDER_MAX_CHUNKS
+
+
 def _pack_spheres(scene: Scene):
     s = scene.spheres
     n_s = s.radius.shape[0]
     if n_s:
         sph_chunk = eff_chunk(n_s, SPH_CHUNK)
         order = _morton_order(s.center.astype(jnp.float32))
-        # Near-to-far CHUNK order from the camera: the kernel's per-chunk
-        # cull bounds `leave` by each ray's running best_t, so chunks
-        # processed after the first hit mostly cull — IF a near chunk came
-        # first to shrink best_t. Morton gives spatially-compact chunks;
-        # sorting those chunks by camera distance makes the scan
-        # effectively early-exit for primary (and, via the origin side of
-        # the slab test, most secondary) rays. Large dense fields go from
-        # O(N) to ~O(chunks actually touched) per ray (round-3 cliff work;
-        # reference bar: bvh.rs:60-101).
-        if n_s > sph_chunk:
-            # pad the CHUNK count to a SUPER multiple so the kernel's
-            # two-level cull (8 Morton-consecutive chunks per superchunk)
-            # has static shape; pad chunks are all-miss with inverted AABBs
-            k_raw = -(-n_s // sph_chunk)
-            k_ch = -(-k_raw // SUPER) * SUPER
-            n_pad_s = k_ch * sph_chunk
-            cpad = jnp.pad(s.center[order].astype(jnp.float32),
-                           [(0, n_pad_s - n_s), (0, 0)],
-                           constant_values=3e38)
-            cen = cpad.reshape(k_ch, sph_chunk, 3)
-            clo = jnp.min(cen, 1)
-            chi = jnp.max(jnp.where(cen < 3e38, cen, -3e38), 1)
-            cam = scene.camera.origin.astype(jnp.float32)
-            gap = jnp.maximum(jnp.maximum(clo - cam[None], cam[None] - chi),
-                              0.0)
-            gap2 = jnp.sum(gap * gap, -1)                         # (k_ch,)
-            # supers = consecutive Morton chunks (spatially compact);
-            # supers near-to-far from camera, members near-to-far within
-            sup_gap2 = jnp.min(gap2.reshape(-1, SUPER), 1)
-            sup_order = jnp.argsort(sup_gap2)                     # (k_sup,)
-            within = jnp.argsort(gap2.reshape(-1, SUPER), 1)      # (k_sup, 8)
-            chunk_order = (sup_order[:, None] * SUPER
-                           + within[sup_order]).reshape(-1)       # (k_ch,)
-            perm = (chunk_order[:, None] * sph_chunk
-                    + jnp.arange(sph_chunk)[None]).reshape(-1)
-            order = jnp.pad(order, (0, n_pad_s - n_s),
-                            constant_values=-1)[perm]
-            keep = order >= 0
-            # pad slots (order == -1) become always-miss rows below via
-            # the csq=3e38 fill keyed off this mask
-            order = jnp.maximum(order, 0)
+        if _wants_order(n_s, sph_chunk):
+            cen = s.center[order].astype(jnp.float32)
+            order, keep = _order_chunks_near_to_far(
+                order, cen, cen, sph_chunk,
+                scene.camera.origin.astype(jnp.float32))
         else:
             keep = None
         c = s.center[order].T.astype(jnp.float32)          # (3, S)
@@ -236,7 +253,7 @@ def _pack_spheres(scene: Scene):
         cull = jnp.concatenate([
             lo.reshape(3, k, sph_chunk).min(2),
             hi.reshape(3, k, sph_chunk).max(2)], 0)        # (6, k)
-        if k > SUPER:
+        if k > SUPER and k % SUPER == 0:
             scull = jnp.concatenate([
                 cull[0:3].reshape(3, k // SUPER, SUPER).min(2),
                 cull[3:6].reshape(3, k // SUPER, SUPER).max(2)], 0)
@@ -290,38 +307,17 @@ def pack_rect_tri(scene: Scene):
         # tris = 10 chunks, and primary rays see only a few)
         centroid = tr.v0 + (tr.e1 + tr.e2) / 3.0
         order = _morton_order(centroid.astype(jnp.float32))
-        if n_t > tri_chunk:
-            # near-to-far SUPER-grouped chunk order (mirrors _pack_spheres;
+        if _wants_order(n_t, tri_chunk):
+            # near-to-far SUPER-grouped chunk order (shared with spheres;
             # pad slots interleave as guaranteed-miss columns via ``keep``)
-            k_raw = -(-n_t // tri_chunk)
-            k_ch = -(-k_raw // SUPER) * SUPER
-            n_pad_t = k_ch * tri_chunk
             v0m = tr.v0[order].astype(jnp.float32)
             e1m = tr.e1[order].astype(jnp.float32)
             e2m = tr.e2[order].astype(jnp.float32)
-            lo3 = jnp.minimum(jnp.minimum(v0m, v0m + e1m), v0m + e2m)
-            hi3 = jnp.maximum(jnp.maximum(v0m, v0m + e1m), v0m + e2m)
-            lo3 = jnp.pad(lo3, [(0, n_pad_t - n_t), (0, 0)],
-                          constant_values=3e38)
-            hi3 = jnp.pad(hi3, [(0, n_pad_t - n_t), (0, 0)],
-                          constant_values=-3e38)
-            clo = lo3.reshape(k_ch, tri_chunk, 3).min(1)
-            chi = hi3.reshape(k_ch, tri_chunk, 3).max(1)
-            cam = scene.camera.origin.astype(jnp.float32)
-            gap = jnp.maximum(jnp.maximum(clo - cam[None], cam[None] - chi),
-                              0.0)
-            gap2 = jnp.sum(gap * gap, -1)                     # (k_ch,)
-            sup_gap2 = jnp.min(gap2.reshape(-1, SUPER), 1)
-            sup_order = jnp.argsort(sup_gap2)
-            within = jnp.argsort(gap2.reshape(-1, SUPER), 1)
-            chunk_order = (sup_order[:, None] * SUPER
-                           + within[sup_order]).reshape(-1)
-            perm = (chunk_order[:, None] * tri_chunk
-                    + jnp.arange(tri_chunk)[None]).reshape(-1)
-            order = jnp.pad(order, (0, n_pad_t - n_t),
-                            constant_values=-1)[perm]
-            keep = order >= 0
-            order = jnp.maximum(order, 0)
+            order, keep = _order_chunks_near_to_far(
+                order,
+                jnp.minimum(jnp.minimum(v0m, v0m + e1m), v0m + e2m),
+                jnp.maximum(jnp.maximum(v0m, v0m + e1m), v0m + e2m),
+                tri_chunk, scene.camera.origin.astype(jnp.float32))
         else:
             keep = None
         v0 = tr.v0[order]
@@ -349,7 +345,7 @@ def pack_rect_tri(scene: Scene):
         tcull = jnp.concatenate([
             lo.reshape(3, k, tri_chunk).min(2),
             hi.reshape(3, k, tri_chunk).max(2)], 0)        # (6, k)
-        if k > SUPER:
+        if k > SUPER and k % SUPER == 0:
             tscull = jnp.concatenate([
                 tcull[0:3].reshape(3, k // SUPER, SUPER).min(2),
                 tcull[3:6].reshape(3, k // SUPER, SUPER).max(2)], 0)
@@ -515,7 +511,9 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
 
         return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
 
-    if scull_ref is None or n_ch <= SUPER:
+    # two-level culling needs a whole number of SUPER groups; tables the
+    # packer left un-grouped (plain Morton layout) flat-scan their chunks
+    if scull_ref is None or n_ch <= SUPER or n_ch % SUPER != 0:
         for j in range(0, n_sph, chunk):
             carry = run_chunk(carry, j)
         return carry
@@ -898,10 +896,14 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
                and tk_ch % SUPER == 0 and tk_sup <= ORDER_MAX_CHUNKS
                and n_tri == tk_ch * tri_chunk
                and tscull.shape[1] == tk_sup)
-    smem_words = ((-(-k_sup // 4) if sph_ord else 0)
-                  + (-(-tk_sup // 4) if tri_ord else 0))
-    if n_tiles * smem_words * 4 > ORDER_SMEM_BUDGET:
-        sph_ord = tri_ord = False
+    # SMEM budget: drop ordered stages individually, triangles first (the
+    # sphere walk is usually the bigger win), never both when one fits
+    sph_words = -(-k_sup // 4) if sph_ord else 0
+    tri_words = -(-tk_sup // 4) if tri_ord else 0
+    if n_tiles * (sph_words + tri_words) * 4 > ORDER_SMEM_BUDGET:
+        tri_ord = False
+        if n_tiles * sph_words * 4 > ORDER_SMEM_BUDGET:
+            sph_ord = False
     if sph_ord or tri_ord:
         return _call_kernel_ordered(
             o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
@@ -1439,7 +1441,8 @@ def bounce_fused_eligible(scene: Scene) -> bool:
     _run/_run_slabbed)."""
     return (scene.images.shape[0] == 0
             and scene.textures.noise_marker.shape[0] == 0
-            and scene.spheres.radius.shape[0] <= SPH_SLAB)
+            and scene.spheres.radius.shape[0] <= SPH_SLAB
+            and scene.triangles.mat_id.shape[0] <= TRI_SLAB)
 
 
 def bounce_fused(scene: Scene, o, d, t_min, alive, uni):
