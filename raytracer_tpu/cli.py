@@ -80,10 +80,13 @@ def load_scene_arg(name: str, aspect: float):
         if ":" not in name:
             return default
         try:
-            return int(name.split(":", 1)[1])
+            n = int(name.split(":", 1)[1])
         except ValueError:
+            n = 0
+        if n < 1:
             raise SystemExit(
-                f"--scene {name!r}: expected an integer after ':'")
+                f"--scene {name!r}: expected a positive integer after ':'")
+        return n
     if name == "field" or name.startswith("field:"):
         from raytracer_tpu.scene.builtin import sphere_field
         return sphere_field(_count(65536), aspect_ratio=aspect)

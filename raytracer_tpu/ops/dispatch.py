@@ -34,6 +34,12 @@ PALLAS_MAX_SPHERES = 655360
 PALLAS_MAX_TRIS = 393216
 PALLAS_MAX_RECTS = 81920
 PALLAS_MAX_PRIMS = PALLAS_MAX_SPHERES  # back-compat alias (sphere-bound)
+# Slab 0 carries min(n_sph, SPH_SLAB) spheres + ALL rects + min(n_tri,
+# TRI_SLAB) tris in one kernel's VMEM; the per-table caps alone cannot see
+# their combined size (a rect-heavy mixed scene could overflow while every
+# individual cap holds). Bytes/prim = 4 * table rows.
+SPH_BYTES, RECT_BYTES, TRI_BYTES = 72, 104, 152
+SLAB0_TABLE_BUDGET = 14 * 2 ** 20  # ~16 MB VMEM minus ray tiles/outputs
 
 
 def _resolve(scene: Scene, method: str) -> str:
@@ -47,9 +53,15 @@ def _resolve(scene: Scene, method: str) -> str:
     # 40 ms at 1k, 2.2 s vs 0.4 s at 16k per 960k-ray cast — the walk's
     # per-iteration selection cost grows with the leaf count; ROUND_NOTES
     # round 2). "leaf" stays available as an explicit method.
-    if (scene.spheres.radius.shape[0] <= PALLAS_MAX_SPHERES
-            and scene.triangles.mat_id.shape[0] <= PALLAS_MAX_TRIS
-            and scene.rects.k.shape[0] <= PALLAS_MAX_RECTS):
+    from raytracer_tpu.ops.pallas_intersect import SPH_SLAB, TRI_SLAB
+    n_s = scene.spheres.radius.shape[0]
+    n_t = scene.triangles.mat_id.shape[0]
+    n_r = scene.rects.k.shape[0]
+    slab0_bytes = (min(n_s, SPH_SLAB) * SPH_BYTES + n_r * RECT_BYTES
+                   + min(n_t, TRI_SLAB) * TRI_BYTES)
+    if (n_s <= PALLAS_MAX_SPHERES and n_t <= PALLAS_MAX_TRIS
+            and n_r <= PALLAS_MAX_RECTS
+            and slab0_bytes <= SLAB0_TABLE_BUDGET):
         return "pallas"
     if scene.bvh is not None:
         return "bvh"

@@ -896,14 +896,18 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
                and tk_ch % SUPER == 0 and tk_sup <= ORDER_MAX_CHUNKS
                and n_tri == tk_ch * tri_chunk
                and tscull.shape[1] == tk_sup)
-    # SMEM budget: drop ordered stages individually, triangles first (the
-    # sphere walk is usually the bigger win), never both when one fits
+    # SMEM budget: when both walks together overflow, keep whichever fits
+    # alone (spheres preferred — usually the bigger win); drop both only
+    # when neither fits
     sph_words = -(-k_sup // 4) if sph_ord else 0
     tri_words = -(-tk_sup // 4) if tri_ord else 0
     if n_tiles * (sph_words + tri_words) * 4 > ORDER_SMEM_BUDGET:
-        tri_ord = False
-        if n_tiles * sph_words * 4 > ORDER_SMEM_BUDGET:
+        if sph_ord and n_tiles * sph_words * 4 <= ORDER_SMEM_BUDGET:
+            tri_ord = False
+        elif tri_ord and n_tiles * tri_words * 4 <= ORDER_SMEM_BUDGET:
             sph_ord = False
+        else:
+            sph_ord = tri_ord = False
     if sph_ord or tri_ord:
         return _call_kernel_ordered(
             o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,

@@ -125,17 +125,13 @@ def three_spheres(aspect_ratio: float = 16.0 / 9.0):
 
 
 def bunny_field(n_bunnies: int = 25, aspect_ratio: float = 4.0 / 3.0,
-                data_dir: str = None):
+                data_dir: str = _DATA):
     """Large-MESH stress bench: an n x n grid of Stanford bunnies
     (bun315.obj, 4,968 tris each — 25 bunnies = 124,200 triangles) over a
     ground sphere with a sky light. Exercises the triangle-slab chain
     (pallas_intersect.TRI_SLAB) the way sphere_field exercises the sphere
     slabs — the "100k-tri mesh" scene class the reference's O(log N) BVH
     (bvh.rs:60-101) handles and one VMEM-resident kernel cannot."""
-    import numpy as np
-    if data_dir is None:
-        data_dir = os.path.join(os.path.dirname(__file__), "..", "..",
-                                "data")
     mesh = load_obj(os.path.join(data_dir, "mesh", "bun315.obj"))
     b = SceneBuilder()
     ground = b.lambertian(b.checker_texture((0.2, 0.3, 0.1),

@@ -237,19 +237,8 @@ def test_tri_slabbed_run_matches_single(key):
     """Triangle slabbing (TRI_SLAB forced below the bunny's 4,968 tris)
     must agree with the single-kernel path: same winner t/type, tri ids
     remapped to global, rect/sphere hits uncorrupted."""
-    import os
     import raytracer_tpu.ops.pallas_intersect as pi
-    from raytracer_tpu.scene.builder import trs_matrix
-    from raytracer_tpu.utils.obj import load_obj
-    mesh = load_obj(os.path.join(os.path.dirname(__file__), "..", "data",
-                                 "mesh", "bun315.obj"))
-    b = SceneBuilder()
-    white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
-    b.add_triangles(mesh.positions, mesh.indices, white,
-                    normals=mesh.normals,
-                    transform=trs_matrix((0, 0, 0), (20, 20, 20), (0, 0, 0)))
-    b.add_sphere((0.0, -1000.0, 0.0), 998.0, white)  # ground below bunny
-    scene = b.compile()
+    scene = _bunny_scene()
     n = 1024
     k1, k2 = jax.random.split(key)
     lo = np.asarray(scene.bounds_min)
