@@ -1040,6 +1040,43 @@ SPH_SLAB = 81920
 TRI_SLAB = 49152
 
 
+def _slab_id_rows(order, n: int, slab: int):
+    """(K, slab) int32 id rows covering ``order[slab:]``. The final partial
+    row pads by REPEATING its last id — duplicate geometry is winner-neutral
+    (same t, same global id after remap) and keeps every scanned slab the
+    same static shape, which is the whole point: one kernel compile."""
+    rows = []
+    for lo in range(slab, n, slab):
+        idx = order[lo:lo + slab]
+        if idx.shape[0] < slab:
+            idx = jnp.concatenate(
+                [idx, jnp.broadcast_to(idx[-1:], (slab - idx.shape[0],))])
+        rows.append(idx)
+    return jnp.stack(rows) if rows else None
+
+
+def _fold_slab(best, tmax_cur, t_i, ty_i, ix_i, data_i):
+    """Strict-< winner fold: the earlier (nearer-ordered) slab keeps ties,
+    matching the in-kernel first-chunk-wins rule."""
+    better = t_i < best[0]
+    best = (jnp.where(better, t_i, best[0]),
+            jnp.where(better, ty_i, best[1]),
+            jnp.where(better, ix_i, best[2]),
+            jnp.where(better[:, None], data_i, best[3]))
+    tmax_cur = jnp.minimum(tmax_cur,
+                           jnp.where(jnp.isfinite(best[0]), best[0], BIG))
+    return best, tmax_cur
+
+
+def _remap_winner_ids(ty_i, ix_i, data_i, prim, ids):
+    """Slab-local winner ids (ix and data slot 14) -> global primitive id."""
+    gix = ids[jnp.clip(ix_i, 0, ids.shape[0] - 1)]
+    ix_i = jnp.where(ty_i == prim, gix, ix_i)
+    data_i = data_i.at[:, 14].set(
+        jnp.where(ty_i == prim, ix_i.astype(jnp.float32), data_i[:, 14]))
+    return ix_i, data_i
+
+
 def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
     """Closest hit over tables larger than one kernel's VMEM capacity:
     Morton-sort each oversized table once, slice into spatially-compact
@@ -1051,26 +1088,20 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
 
     Sub-scene sequence: [spheres slab 0 + rects + tris slab 0], then the
     remaining sphere slabs (empty rect/tri), then the remaining tri slabs
-    (empty sphere/rect). Winner fold uses strict < so the earlier
-    (nearer-ordered) slab keeps ties, matching the in-kernel
-    first-chunk-wins rule; slab-local winner ids (ix and data slot 14)
-    remap to the global primitive id."""
+    (empty sphere/rect). The remaining slabs run as ``lax.scan`` over
+    STACKED equal-shape slab tables, so the Mosaic kernel compiles at most
+    three times (mixed slab 0, sphere-only, tri-only) no matter how many
+    slabs the scene needs — the unrolled chain compiled one kernel instance
+    PER slab, and a 4-slab first compile ran long enough to wedge the
+    device tunnel when killed."""
     s = scene.spheres
     tr = scene.triangles
     n_s = s.radius.shape[0]
     n_t = tr.mat_id.shape[0]
+    per_sph_vel = s.velocity.shape[0] == n_s
     empty_sph = type(s)(*([a[:0] for a in s[:4]] + [s.motion_marker]))
     empty_rects = type(scene.rects)(*[a[:0] for a in scene.rects])
     empty_tris = type(tr)(*[a[:0] for a in tr])
-
-    def sph_slab(idx):
-        return s._replace(
-            center=s.center[idx], radius=s.radius[idx], mat_id=s.mat_id[idx],
-            velocity=(s.velocity[idx] if s.velocity.shape[0] == n_s
-                      else s.velocity))
-
-    def tri_slab(idx):
-        return type(tr)(*[a[idx] for a in tr])
 
     s_order = (_morton_order(s.center.astype(jnp.float32)) if n_s > SPH_SLAB
                else jnp.arange(n_s, dtype=jnp.int32))
@@ -1078,49 +1109,74 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
         (tr.v0 + (tr.e1 + tr.e2) / 3.0).astype(jnp.float32))
         if n_t > TRI_SLAB else jnp.arange(n_t, dtype=jnp.int32))
 
-    # (sub_scene, sphere-id map or None, tri-id map or None)
-    subs = []
-    idx_s0 = s_order[:SPH_SLAB]
-    idx_t0 = t_order[:TRI_SLAB]
-    subs.append((scene._replace(
-        spheres=sph_slab(idx_s0) if n_s else s,
-        triangles=tri_slab(idx_t0) if n_t else tr),
-        idx_s0 if n_s else None, idx_t0 if n_t else None))
-    for lo in range(SPH_SLAB, n_s, SPH_SLAB):
-        idx = s_order[lo:lo + SPH_SLAB]
-        subs.append((scene._replace(spheres=sph_slab(idx),
-                                    rects=empty_rects, triangles=empty_tris),
-                     idx, None))
-    for lo in range(TRI_SLAB, n_t, TRI_SLAB):
-        idx = t_order[lo:lo + TRI_SLAB]
-        subs.append((scene._replace(spheres=empty_sph, rects=empty_rects,
-                                    triangles=tri_slab(idx)),
-                     None, idx))
-
     n = o.shape[0]
     tmax_cur = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
-    best = None
-    for sub, s_idx, t_idx in subs:
-        t_i, ty_i, ix_i, data_i = _run(sub, o, d, t_min, tmax_cur, alive)
-        for prim, idx in ((PRIM_SPHERE, s_idx), (PRIM_TRIANGLE, t_idx)):
-            if idx is None or not idx.shape[0]:
-                continue
-            ix_i = jnp.where(ty_i == prim,
-                             idx[jnp.clip(ix_i, 0, idx.shape[0] - 1)], ix_i)
-            data_i = data_i.at[:, 14].set(
-                jnp.where(ty_i == prim, ix_i.astype(jnp.float32),
-                          data_i[:, 14]))
-        if best is None:
-            best = (t_i, ty_i, ix_i, data_i)
-        else:
-            better = t_i < best[0]
-            best = (jnp.where(better, t_i, best[0]),
-                    jnp.where(better, ty_i, best[1]),
-                    jnp.where(better, ix_i, best[2]),
-                    jnp.where(better[:, None], data_i, best[3]))
-        tmax_cur = jnp.minimum(tmax_cur,
-                               jnp.where(jnp.isfinite(best[0]), best[0], BIG))
+
+    # slab 0: spheres slab 0 + ALL rects + tris slab 0, one mixed kernel
+    idx_s0 = s_order[:SPH_SLAB]
+    idx_t0 = t_order[:TRI_SLAB]
+
+    def sph_slab(idx):
+        return s._replace(
+            center=s.center[idx], radius=s.radius[idx], mat_id=s.mat_id[idx],
+            velocity=(s.velocity[idx] if per_sph_vel else s.velocity))
+
+    sub0 = scene._replace(
+        spheres=sph_slab(idx_s0) if n_s else s,
+        triangles=(type(tr)(*[a[idx_t0] for a in tr]) if n_t else tr))
+    t_i, ty_i, ix_i, data_i = _run(sub0, o, d, t_min, tmax_cur, alive)
+    for prim, idx in ((PRIM_SPHERE, idx_s0 if n_s else None),
+                      (PRIM_TRIANGLE, idx_t0 if n_t else None)):
+        if idx is None or not idx.shape[0]:
+            continue
+        ix_i, data_i = _remap_winner_ids(ty_i, ix_i, data_i, prim, idx)
+    best = (t_i, ty_i, ix_i, data_i)
+    tmax_cur = jnp.minimum(tmax_cur,
+                           jnp.where(jnp.isfinite(best[0]), best[0], BIG))
+
+    # remaining sphere slabs: ONE scanned kernel over (K, SPH_SLAB) tables
+    sph_ids = _slab_id_rows(s_order, n_s, SPH_SLAB)
+    if sph_ids is not None:
+        xs = (sph_ids, s.center[sph_ids], s.radius[sph_ids],
+              s.mat_id[sph_ids],
+              s.velocity[sph_ids] if per_sph_vel else None)
+
+        def sph_body(carry, x):
+            tmax_c, *b = carry
+            ids, ctr, rad, mid, vel = x
+            sub = scene._replace(
+                spheres=type(s)(ctr, rad, mid,
+                                vel if per_sph_vel else s.velocity,
+                                s.motion_marker),
+                rects=empty_rects, triangles=empty_tris)
+            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive)
+            ix_j, data_j = _remap_winner_ids(ty_j, ix_j, data_j,
+                                             PRIM_SPHERE, ids)
+            b, tmax_c = _fold_slab(tuple(b), tmax_c, t_j, ty_j, ix_j, data_j)
+            return (tmax_c,) + b, None
+
+        carry, _ = jax.lax.scan(sph_body, (tmax_cur,) + best, xs)
+        tmax_cur, best = carry[0], tuple(carry[1:])
+
+    # remaining tri slabs: ONE scanned kernel over (K, TRI_SLAB) tables
+    tri_ids = _slab_id_rows(t_order, n_t, TRI_SLAB)
+    if tri_ids is not None:
+        xs = (tri_ids, type(tr)(*[a[tri_ids] for a in tr]))
+
+        def tri_body(carry, x):
+            tmax_c, *b = carry
+            ids, tri_tbl = x
+            sub = scene._replace(spheres=empty_sph, rects=empty_rects,
+                                 triangles=tri_tbl)
+            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive)
+            ix_j, data_j = _remap_winner_ids(ty_j, ix_j, data_j,
+                                             PRIM_TRIANGLE, ids)
+            b, tmax_c = _fold_slab(tuple(b), tmax_c, t_j, ty_j, ix_j, data_j)
+            return (tmax_c,) + b, None
+
+        carry, _ = jax.lax.scan(tri_body, (tmax_cur,) + best, xs)
+        tmax_cur, best = carry[0], tuple(carry[1:])
     return best
 
 

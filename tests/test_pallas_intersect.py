@@ -260,3 +260,35 @@ def test_tri_slabbed_run_matches_single(key):
     np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
     np.testing.assert_allclose(np.asarray(data1)[hit],
                                np.asarray(data2)[hit], rtol=1e-5, atol=1e-5)
+
+
+def test_slabbed_kernel_trace_count(key):
+    """The slab chain must trace the Mosaic kernel a CONSTANT number of
+    times regardless of slab count: slab 0 plus at most one lax.scan body
+    per oversized table (spheres, tris). The earlier unrolled chain traced
+    one kernel instance PER slab — a 4-slab first compile ran long enough
+    that killing it wedged the TPU tunnel for hours. Counts _call_kernel
+    invocations during an abstract trace (no execution)."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    scene = load_scene("data/scene_500.json")  # 1005 spheres
+    o = jnp.zeros((256, 3))
+    d = jnp.ones((256, 3))
+
+    calls = 0
+    real = pi._call_kernel
+
+    def counting(*a, **kw):
+        nonlocal calls
+        calls += 1
+        return real(*a, **kw)
+
+    old = pi.SPH_SLAB
+    pi._call_kernel = counting
+    try:
+        pi.SPH_SLAB = 64             # 1005 spheres -> 16 slabs
+        jax.make_jaxpr(
+            lambda o, d: pi._run(scene, o, d, 1e-3, jnp.inf))(o, d)
+    finally:
+        pi.SPH_SLAB = old
+        pi._call_kernel = real
+    assert calls == 2, calls         # slab 0 + one scanned body
