@@ -93,6 +93,18 @@ def main():
     (img3, rays_m), dt_m = _timed(pt.render_fn, mscene, key, **kw2)
     mrays_mesh = int(rays_m) / dt_m / 1e6
 
+    # the driver's other named scene configs (BASELINE.md): scene_10 at
+    # its stated 400x225@100spp, scene_200_no_bvh (405 spheres, the "pure
+    # batched intersection throughput" config) at the headline geometry
+    s10 = load_scene("data/scene_10.json", aspect_ratio=400 / 225)
+    kw10 = dict(width=400, height=225, spp=100, spp_chunk=1, max_depth=16,
+                t_min=1e-3, spawn_eps_rel=1e-4, intersector="pallas",
+                russian_roulette=True)
+    (_, rays_10), dt_10 = _timed(pt.render_fn, s10, key, **kw10)
+    s200 = load_scene("data/scene_200_no_bvh.json",
+                      aspect_ratio=width / height)
+    rays_200, dt_200 = run(s200, "pallas", 16, rr=True)
+
     # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
     # 250k photons, dense photon-query kernel
     from raytracer_tpu.models import sppm
@@ -192,6 +204,10 @@ def main():
         "field160k_s_per_8spp": round(dt_f2, 3),
         "mrays_mesh124k": round(mrays_mesh, 2),
         "mesh124k_s_per_8spp": round(dt_m, 3),
+        "mrays_scene10": round(int(rays_10) / dt_10 / 1e6, 2),
+        "scene10_s_per_100spp_400x225": round(dt_10, 3),
+        "mrays_scene200": round(rays_200 / dt_200 / 1e6, 2),
+        "scene200_s_per_32spp": round(dt_200, 3),
         "numeric_ok": not golden_failures,
         "numeric_failures": golden_failures,
         "backend": jax.default_backend(),
