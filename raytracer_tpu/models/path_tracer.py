@@ -98,14 +98,14 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     # 42.7x (8,128)-tile padding XLA gives (N,3) loop temps (measured 1.34x;
     # models/wavefront_soa.py). Same semantics, same key streams.
     from raytracer_tpu.ops.dispatch import _resolve
-    method = _resolve(scene, intersector)
-    if (method in ("pallas", "leaf") and time is None
+    method = _resolve(scene, intersector, has_time=time is not None)
+    if (method in ("pallas", "leaf")
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import trace_radiance_soa
         radiance, rays = trace_radiance_soa(
             scene, o, d, key, max_depth=max_depth, t_min=t_min,
             spawn_eps=spawn_eps, intersector=method,
-            russian_roulette=russian_roulette, nee=nee)
+            russian_roulette=russian_roulette, nee=nee, time=time)
         return TraceResult(radiance, rays)
 
     class S(NamedTuple):
@@ -139,7 +139,8 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
             from raytracer_tpu.ops.nee import direct_light
             dl = direct_light(scene, jax.random.fold_in(k, 53), attrs.p,
                               attrs.normal, sc.attenuation, diffuse_now,
-                              intersector=intersector, alive=s.alive)
+                              intersector=intersector, alive=s.alive,
+                              time=time)
             radiance = radiance + jnp.where(
                 diffuse_now[:, None], s.throughput * dl, 0.0)
 
@@ -193,9 +194,10 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
     # render_regen_soa) — replaces the fori_loop of fixed-depth wavefronts
     # whose occupancy decayed ~2.2x by depth 16.
     from raytracer_tpu.ops.dispatch import _resolve
-    method = _resolve(scene, intersector)
+    # has_time=True: the regen wavefront draws per-sample shutter times
+    # itself when the scene moves, so moving scenes ride the kernel path
+    method = _resolve(scene, intersector, has_time=True)
     if (method in ("pallas", "leaf")
-            and not scene.spheres.motion_marker.shape[0]
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import render_regen_soa
         accum, rays, _steps = render_regen_soa(

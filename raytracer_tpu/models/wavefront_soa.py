@@ -353,7 +353,7 @@ def use_fused(scene: Scene, intersector: str) -> bool:
 
 def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
                 t_min: float, spawn_eps, intersector: str,
-                fused: bool) -> Bounce:
+                fused: bool, time=None) -> Bounce:
     """Advance one bounce: intersect + attrs + texture + scatter. The fused
     path runs everything inside one pallas call (ops/pallas_intersect.
     _bounce_kernel); the unfused path is the original attrs_soa +
@@ -380,7 +380,11 @@ def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
         t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
     else:
         from raytracer_tpu.ops.pallas_intersect import _run as _prun
-        t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf, alive=alive)
+        # moving-sphere winners come back with EFFECTIVE centers (c + v*t)
+        # already folded into the center slots, so attrs_soa is motion-
+        # agnostic (pallas_intersect._run)
+        t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf, alive=alive,
+                                 time=time)
     h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
     sc = scatter_soa(scene, k, dx, dy, dz, h, f)
     side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
@@ -393,10 +397,12 @@ def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
 
 def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
                        t_min: float, spawn_eps, intersector: str,
-                       russian_roulette: bool = True, nee: bool = False):
+                       russian_roulette: bool = True, nee: bool = False,
+                       time=None):
     """SoA twin of path_tracer.trace_radiance for the pallas/leaf
-    intersectors (no media, no motion blur). Returns (radiance (N,3),
-    rays ()).
+    intersectors (no media; motion blur via per-lane ``time`` — constant
+    across a lane's bounces, so it rides the closure, not the carry).
+    Returns (radiance (N,3), rays ()).
 
     Stream compaction was measured and rejected a THIRD time here: even
     with (N,) component state the stable-partition's in-loop scatter is
@@ -415,7 +421,7 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
         k = jax.random.fold_in(key, step)
         b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+                        intersector=intersector, fused=fused, time=time)
 
         # b.er/inter are miss-masked, so `alive` alone gates accumulation
         emit_ok = alive & ~prev_diff
@@ -431,7 +437,7 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
             a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
             dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3, a3,
                               diffuse_now, intersector=intersector,
-                              alive=alive)
+                              alive=alive, time=time)
             rr_ = rr_ + jnp.where(diffuse_now, tr * dl[:, 0], 0.0)
             rg_ = rg_ + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
             rb_ = rb_ + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
@@ -576,15 +582,27 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     slot_id = jnp.arange(n, dtype=jnp.int32) % n_out
     pix = slots[slot_id]
     quota = jnp.int32(samples_per_lane)
+    # motion blur: each SAMPLE owns one shutter time (camera.rs has no
+    # analog — reference Ray is timeless), drawn at spawn from the spawn
+    # key (fold 13; independent of camera_rays_soa's splits) and carried
+    # per lane. Static scenes carry no time state — identical programs.
+    motion = bool(scene.spheres.motion_marker.shape[0])
+
+    def spawn_times(k, nl):
+        cam = scene.camera
+        return cam.time0 + jax.random.uniform(
+            jax.random.fold_in(k, 13), (nl,)) * (cam.time1 - cam.time0)
 
     def make_body(px_, py_, nl):
         def body(s):
             (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
-             ar, ag, ab, alive, depth, done, prev_diff, rays) = s
+             ar, ag, ab, alive, depth, done, prev_diff, rays) = s[:21]
+            time = s[21] if motion else None
             k = jax.random.fold_in(key, step)
             b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
-                            intersector=intersector, fused=fused)
+                            intersector=intersector, fused=fused,
+                            time=time)
 
             emit_ok = alive & ~prev_diff
             sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)
@@ -599,7 +617,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                 a3 = jnp.stack([b.ar, b.ag, b.ab], -1)
                 dl = direct_light(scene, jax.random.fold_in(k, 53), p3, n3,
                                   a3, diffuse_now, intersector=intersector,
-                                  alive=alive)
+                                  alive=alive, time=time)
                 sr = sr + jnp.where(diffuse_now, tr * dl[:, 0], 0.0)
                 sg = sg + jnp.where(diffuse_now, tg * dl[:, 1], 0.0)
                 sb = sb + jnp.where(diffuse_now, tb * dl[:, 2], 0.0)
@@ -627,10 +645,10 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             done2 = done + retire.astype(jnp.int32)
             regen = retire & (done2 < quota)
 
+            spawn_k = jax.random.fold_in(jax.random.fold_in(key, 7),
+                                         step + 1)
             cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
-                scene.camera, jax.random.fold_in(jax.random.fold_in(key, 7),
-                                                 step + 1),
-                px_, py_, width, height)
+                scene.camera, spawn_k, px_, py_, width, height)
             ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
             oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
             oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
@@ -646,9 +664,13 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             depth3 = jnp.where(regen, 0, depth2)
             prev2 = (diffuse_now if nee else prev_diff) & ~regen
             alive2 = (alive & cont) | regen
-            return (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
-                    sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
-                    rays + jnp.sum(alive))
+            out = (step + 1, ox2, oy2, oz2, dx2, dy2, dz2, tr3, tg3, tb3,
+                   sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
+                   rays + jnp.sum(alive))
+            if motion:
+                out = out + (jnp.where(regen, spawn_times(spawn_k, nl),
+                                       time),)
+            return out
         return body
 
     px = (pix % width).astype(jnp.float32)
@@ -664,9 +686,14 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             one, one * 1.0, one * 1.0, zero, zero * 1.0, zero * 1.0,
             zero * 1.0, zero * 1.0, zero * 1.0, alive0, izero,
             izero * 1, ~alive0, jnp.sum(izero))
+    if motion:
+        init = init + (spawn_times(
+            jax.random.fold_in(jax.random.fold_in(key, 7), 0), n),)
 
     sizes = _drain_sizes(n)
     LANE_STATE = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18, 19)
+    if motion:
+        LANE_STATE = LANE_STATE + (21,)
     s, cur_px, cur_py, cur_slot = init, px, py, slot_id
     tails = []  # (slot_ids, accum (m,3)) per compacted-away level
     lvl0_accum = None

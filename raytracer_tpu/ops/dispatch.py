@@ -42,12 +42,31 @@ SPH_BYTES, RECT_BYTES, TRI_BYTES = 72, 104, 152
 SLAB0_TABLE_BUDGET = 14 * 2 ** 20  # ~16 MB VMEM minus ray tiles/outputs
 
 
-def _resolve(scene: Scene, method: str) -> str:
-    # motion blur (per-ray time) is implemented on the XLA path only
-    if scene.spheres.motion_marker.shape[0]:
+def _resolve(scene: Scene, method: str, has_time: bool = False) -> str:
+    # motion blur: the dense kernel tests c + v*t when the caller supplies
+    # per-ray times (velocity rows + shutter-dilated culls,
+    # pallas_intersect.SPH_VEL_ROW). Without times — or through the leaf /
+    # BVH paths, which have no motion support — moving scenes take the XLA
+    # brute force (centers at t=0 would otherwise be silently wrong).
+    moving = bool(scene.spheres.motion_marker.shape[0])
+    if moving and not has_time:
         return "bruteforce"
     if method != "auto":
+        if moving and method in ("leaf", "bvh"):
+            return "pallas"
         return method
+    if moving:
+        from raytracer_tpu.ops.pallas_intersect import SPH_SLAB, TRI_SLAB
+        n_s = scene.spheres.radius.shape[0]
+        n_t = scene.triangles.mat_id.shape[0]
+        n_r = scene.rects.k.shape[0]
+        # +12 B/sphere: the 3 velocity rows exist only in motion tables
+        slab0 = (min(n_s, SPH_SLAB) * (SPH_BYTES + 12) + n_r * RECT_BYTES
+                 + min(n_t, TRI_SLAB) * TRI_BYTES)
+        if (n_s <= PALLAS_MAX_SPHERES and n_t <= PALLAS_MAX_TRIS
+                and n_r <= PALLAS_MAX_RECTS and slab0 <= SLAB0_TABLE_BUDGET):
+            return "pallas"
+        return "bruteforce"
     # The dense brute-force kernel runs at ~85% of VPU single-issue peak
     # and beats the leaf-culled walk at every measured sphere count (58 vs
     # 40 ms at 1k, 2.2 s vs 0.4 s at 16k per 960k-ray cast — the walk's
@@ -70,13 +89,14 @@ def _resolve(scene: Scene, method: str) -> str:
 
 def intersect_scene(scene: Scene, o, d, t_min, t_max,
                     method: str = "auto", time=None, alive=None) -> Hit:
-    method = _resolve(scene, method)
+    method = _resolve(scene, method, has_time=time is not None)
     if method == "leaf":
         from raytracer_tpu.ops.pallas_bvh import intersect_leaf
         return intersect_leaf(scene, o, d, t_min, t_max, alive=alive)
     if method == "pallas":
         from raytracer_tpu.ops.pallas_intersect import intersect_pallas
-        return intersect_pallas(scene, o, d, t_min, t_max, alive=alive)
+        return intersect_pallas(scene, o, d, t_min, t_max, alive=alive,
+                                time=time)
     if method == "bvh":
         if scene.bvh is None:
             raise ValueError("scene has no BVH; build it with ops.bvh.build_bvh")
@@ -94,12 +114,13 @@ def intersect_and_attrs(scene: Scene, o, d, t_min, t_max,
     arbitrary and must be masked by the caller, which retired them anyway).
     Returns (hit, attrs, feats-or-None)."""
     from raytracer_tpu.ops.intersect import hit_attributes
-    method = _resolve(scene, method)
+    method = _resolve(scene, method, has_time=time is not None)
     if method == "leaf":
         from raytracer_tpu.ops.pallas_bvh import intersect_leaf_full
         return intersect_leaf_full(scene, o, d, t_min, t_max, alive=alive)
     if method == "pallas":
         from raytracer_tpu.ops.pallas_intersect import intersect_pallas_full
-        return intersect_pallas_full(scene, o, d, t_min, t_max, alive=alive)
+        return intersect_pallas_full(scene, o, d, t_min, t_max, alive=alive,
+                                     time=time)
     hit = intersect_scene(scene, o, d, t_min, t_max, method, time=time)
     return hit, hit_attributes(scene, o, d, hit, time=time), None

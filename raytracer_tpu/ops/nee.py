@@ -73,7 +73,8 @@ PI = 3.141592653589793
 
 
 def direct_light(scene: Scene, key, p, normal, albedo, valid,
-                 n_samples: int = 1, intersector: str = "auto", alive=None):
+                 n_samples: int = 1, intersector: str = "auto", alive=None,
+                 time=None):
     """Consistent next-event estimation for the PT+NEE mode (``--nee``).
 
     Unlike :func:`sample_li` (a faithful port of the reference's dead code,
@@ -156,8 +157,10 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
                               jnp.abs(vec.dot(n_l, -dir_)))
             geom = cos_p * cos_l / dist2 * inv_pdf
             candidate = valid & (geom > 0.0)
+            # shadow rays inherit the shading ray's shutter time so
+            # moving occluders are tested where the camera ray saw them
             hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
-                                  intersector,
+                                  intersector, time=time,
                                   alive=(candidate if alive is None
                                          else candidate & alive))
             visible = ~jnp.isfinite(hit.t)

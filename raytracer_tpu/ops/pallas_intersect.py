@@ -70,6 +70,14 @@ N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
 SPH_RSQ_ROW = 5 + N_FEAT  # sphere table row 17: r^2 (direct-form test)
 SPH_RSQ_SLOT = 15         # winner slot carrying r^2 (unused by rect/tri)
+# Motion blur (extension; the reference Ray has no time, ray.rs:3-6):
+# moving-sphere scenes pack 3 extra velocity rows (vx, vy, vz) and the
+# kernel tests against c + v*t_ray. Static scenes pack no motion rows, so
+# their compiled programs are unchanged. The winner's velocity is
+# extracted into slots 4..6 (free for sphere winners) and _run folds it
+# into the center slots, so every attrs consumer sees EFFECTIVE centers.
+SPH_VEL_ROW = 6 + N_FEAT  # first velocity row (rows 18..20)
+SPH_VEL_SLOTS = [4, 5, 6]
 # Ordered dynamic chunk walk (large sphere tables): per-tile near-to-far
 # chunk order rides scalar prefetch (SMEM). Byte-packed ids cap the walk at
 # 256 chunks (256 * SPH_CHUNK = 262k spheres); the SMEM budget bounds
@@ -141,15 +149,17 @@ def _morton_order(centers):
     return jnp.argsort(code)
 
 
-def pack_tables(scene: Scene):
+def pack_tables(scene: Scene, with_motion: bool = False):
     """Pack scene tables into the kernel's component-plane layout. Empty
     tables become one fully-padded chunk whose pad values guarantee a miss.
     Spheres and multi-chunk tri tables are Morton-ordered; returns
     (sph, rect, tri, sph_cull, tri_cull, sph_scull, tri_scull) where the
     cull/scull pairs are the (6, n_chunks)/(6, n_supers) per-chunk/
     per-superchunk AABB tables and the sphere block carries an extra
-    original-index row (row 4+N_FEAT)."""
-    sph, cull, scull = _pack_spheres(scene)
+    original-index row (row 4+N_FEAT). ``with_motion`` appends velocity
+    rows and dilates the cull AABBs over the camera shutter (see
+    SPH_VEL_ROW)."""
+    sph, cull, scull = _pack_spheres(scene, with_motion)
     rec, tri, tcull, tscull = pack_rect_tri(scene)
     return sph, rec, tri, cull, tcull, scull, tscull
 
@@ -207,9 +217,11 @@ def _wants_order(n: int, chunk: int) -> bool:
         k_ch // SUPER) <= ORDER_MAX_CHUNKS
 
 
-def _pack_spheres(scene: Scene):
+def _pack_spheres(scene: Scene, with_motion: bool = False):
     s = scene.spheres
     n_s = s.radius.shape[0]
+    with_motion = bool(with_motion and n_s
+                       and s.velocity.shape[0] == n_s)
     if n_s:
         sph_chunk = eff_chunk(n_s, SPH_CHUNK)
         order = _morton_order(s.center.astype(jnp.float32))
@@ -223,29 +235,44 @@ def _pack_spheres(scene: Scene):
         c = s.center[order].T.astype(jnp.float32)          # (3, S)
         r = s.radius[order].astype(jnp.float32)
         orig = order.astype(jnp.float32)[None]
+        if with_motion:
+            # velocity rows (3, S) + shutter-swept AABB dilation: every
+            # per-ray time lies in [time0, time1], so each sphere's cull
+            # box must cover c + v*t over the whole window (conservative;
+            # the exact quadratic rejects inside the kernel)
+            v = s.velocity[order].T.astype(jnp.float32)
+            t0 = scene.camera.time0.astype(jnp.float32)
+            t1 = scene.camera.time1.astype(jnp.float32)
+            vlo = jnp.minimum(v * t0, v * t1)
+            vhi = jnp.maximum(v * t0, v * t1)
+        else:
+            v = None
+            vlo = vhi = 0.0
         # row 17 = r^2: the chunk test uses the DIRECT oc = o - c quadratic
         # (exact parity with ops/intersect.py). The expanded
         # |o|^2 - 2 o.c + csq form loses ~7 bits to cancellation at
         # |o| ~ 1e3 coordinates and flipped grazing hits to misses
         # (found on the 64k field: disc = -2.6e-4 for a true hit).
         # csq (row 3) stays for the leaf kernel's winner recompute.
-        sph = jnp.concatenate([
-            c, (jnp.sum(c * c, 0) - r * r)[None],
-            _feature_rows(scene, s.mat_id[order]), orig, (r * r)[None]], 0)
+        rows = [c, (jnp.sum(c * c, 0) - r * r)[None],
+                _feature_rows(scene, s.mat_id[order]), orig, (r * r)[None]]
+        if with_motion:
+            rows.append(v)
+        sph = jnp.concatenate(rows, 0)
         if keep is not None:
             # interleaved pad slots (chunk-aligned): force a guaranteed miss
             sph = sph.at[3].set(jnp.where(keep, sph[3], 3e38))
             sph = sph.at[SPH_RSQ_ROW].set(
                 jnp.where(keep, sph[SPH_RSQ_ROW], -3e38))
             sph = _pad_cols(sph, sph_chunk, 0.0)
-            lo = jnp.where(keep[None], c - r[None], 3e38)
-            hi = jnp.where(keep[None], c + r[None], -3e38)
+            lo = jnp.where(keep[None], c - r[None] + vlo, 3e38)
+            hi = jnp.where(keep[None], c + r[None] + vhi, -3e38)
         else:
             sph = _pad_cols(sph, sph_chunk, 0.0)
             sph = sph.at[3, n_s:].set(3e38)                # pad -> disc < 0
             sph = sph.at[SPH_RSQ_ROW, n_s:].set(-3e38)
-            lo = c - r[None]
-            hi = c + r[None]
+            lo = c - r[None] + vlo
+            hi = c + r[None] + vhi
         # per-chunk AABBs (pad entries get inverted boxes -> never expand)
         lo = _pad_cols(lo, sph_chunk, 3e38)
         hi = _pad_cols(hi, sph_chunk, -3e38)
@@ -416,9 +443,10 @@ class RayVals(NamedTuple):
     inv_dx: jnp.ndarray
     inv_dy: jnp.ndarray
     inv_dz: jnp.ndarray
+    time: jnp.ndarray = None  # (T,1) shutter time or None (no motion)
 
 
-def ray_vals(o_ref, d_ref, tmin_ref, tmax_ref) -> RayVals:
+def ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref=None) -> RayVals:
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
     a = dx * dx + dy * dy + dz * dz                             # (T,1)
@@ -430,7 +458,8 @@ def ray_vals(o_ref, d_ref, tmin_ref, tmax_ref) -> RayVals:
         ox * ox + oy * oy + oz * oz,
         jnp.where(jnp.abs(dx) > 1e-30, 1.0 / dx, big_inv),
         jnp.where(jnp.abs(dy) > 1e-30, 1.0 / dy, big_inv),
-        jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv))
+        jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv),
+        time_ref[:] if time_ref is not None else None)
 
 
 def init_carry(rv: RayVals):
@@ -467,6 +496,13 @@ def _sphere_chunk_fold(c, rv: RayVals, blk, base):
     cy = blk[1:2, :]
     cz = blk[2:3, :]
     rsq = blk[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, :]
+    # motion blur: c(t) = c + v * t_ray (centers become (T,C)); the
+    # velocity rows exist only in motion-scene tables (static shape test)
+    has_vel = rv.time is not None and blk.shape[0] > SPH_VEL_ROW
+    if has_vel:
+        cx = cx + blk[SPH_VEL_ROW:SPH_VEL_ROW + 1, :] * rv.time
+        cy = cy + blk[SPH_VEL_ROW + 1:SPH_VEL_ROW + 2, :] * rv.time
+        cz = cz + blk[SPH_VEL_ROW + 2:SPH_VEL_ROW + 3, :] * rv.time
     # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
     # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
     # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
@@ -483,8 +519,11 @@ def _sphere_chunk_fold(c, rv: RayVals, blk, base):
     ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
     ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
     t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+    # motion tables extract the winner's velocity into slots 4..6 (rows
+    # 18..20 follow the 18 static rows in plane order)
+    slots = SPHERE_SLOTS + (SPH_VEL_SLOTS if has_vel else [])
     return _fold(c, t, (disc >= 0.0), base, PRIM_SPHERE,
-                 blk, SPHERE_SLOTS, [])
+                 blk, slots, [])
 
 
 def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
@@ -781,13 +820,16 @@ def finish_carry(carry, t_out, ty_out, ix_out, data_out):
 
 
 def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
-                    sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
-                    scull_ref, t_out, ty_out, ix_out, data_out,
-                    *, n_sph: int, n_rect: int, n_tri: int):
+                    *refs, n_sph: int, n_rect: int, n_tri: int,
+                    has_time: bool = False):
+    # motion-scene programs carry an extra per-ray time operand after alive
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     t_out, ty_out, ix_out, data_out) = refs
     # whole-tile skip for fully-retired tiles: a value-returning cond keeps
     # the output writes unconditional (conditional ref stores stall the
     # Mosaic output pipeline)
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
     any_alive = jnp.any(alive_ref[:] > 0.5)
 
     def live(carry):
@@ -802,11 +844,9 @@ def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
 
 
 def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
-                            tmax_ref, alive_ref, sph_ref, rect_ref, tri_ref,
-                            cull_ref, tcull_ref, scull_ref,
-                            t_out, ty_out, ix_out, data_out,
-                            *stats_out, n_sph: int, n_rect: int, n_tri: int,
-                            sph_cfg, tri_cfg):
+                            tmax_ref, alive_ref, *refs,
+                            n_sph: int, n_rect: int, n_tri: int,
+                            sph_cfg, tri_cfg, has_time: bool = False):
     """Ordered-walk twin of _closest_kernel: each big stage (spheres and/or
     triangles) runs the per-tile dynamic near-to-far superchunk walk
     instead of the static scan; stages below the ordering threshold keep
@@ -815,7 +855,10 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
     (w_words, k_ch, chunk, word_base, cull_base) tuples or None.
     With ORDER_STATS, two extra outputs carry the per-tile walk length and
     chunk-body count summed over ordered stages (broadcast across lanes)."""
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     t_out, ty_out, ix_out, data_out, *stats_out) = refs
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
     alive = alive_ref[:]
     any_alive = jnp.any(alive > 0.5)
     tile = pl.program_id(0)
@@ -869,7 +912,8 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
 def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
-                 scull, tscull, *, n_sph, n_rect, n_tri, interpret):
+                 scull, tscull, *, n_sph, n_rect, n_tri, interpret,
+                 time=None):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -879,6 +923,8 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
         tmin = jnp.pad(tmin, [(0, pad)])
         tmax = jnp.pad(tmax, [(0, pad)])
         alive = jnp.pad(alive, [(0, pad)])   # pad lanes are dead
+        if time is not None:
+            time = jnp.pad(time, [(0, pad)])
     alive = alive.astype(jnp.float32)
 
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
@@ -913,24 +959,27 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
             o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
             tscull, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
             sph_ord=sph_ord, tri_ord=tri_ord, sph_chunk=sph_chunk,
-            tri_chunk=tri_chunk, interpret=interpret, n=n)
+            tri_chunk=tri_chunk, interpret=interpret, n=n, time=time)
     tmin = tmin[:, None]
     tmax = tmax[:, None]
     alive = alive[:, None]
+    ray_ins = [o, d, tmin, tmax, alive]
+    ray_widths = [3, 3, 1, 1, 1]
+    if time is not None:
+        ray_ins.append(time[:, None])
+        ray_widths.append(1)
 
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
-                               n_tri=n_tri)
+                               n_tri=n_tri, has_time=time is not None)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri
     t, ty, ix, data = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for w in ray_widths
+        ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -955,7 +1004,7 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
-    )(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull)
+    )(*ray_ins, sph, rect, tri, cull, tcull, scull)
     t = t[:n, 0]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n],
             None)
@@ -964,7 +1013,7 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
 def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
                          tcull, scull, tscull, *, n_sph, n_rect, n_tri,
                          sph_ord, tri_ord, sph_chunk, tri_chunk,
-                         interpret, n):
+                         interpret, n, time=None):
     """Ordered-walk pallas call (inputs pre-padded to a TILE multiple).
     Each ordered stage's per-tile superchunk order + flattened chunk+super
     cull tables ride scalar prefetch into SMEM (concatenated, with static
@@ -991,11 +1040,17 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
     tmin = tmin[:, None]
     tmax = tmax[:, None]
     alive = alive[:, None]
+    ray_ins = [o, d, tmin, tmax, alive]
+    ray_widths = [3, 3, 1, 1, 1]
+    if time is not None:
+        ray_ins.append(time[:, None])
+        ray_widths.append(1)
 
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel_ordered, n_sph=n_sph,
                                n_rect=n_rect, n_tri=n_tri,
-                               sph_cfg=sph_cfg, tri_cfg=tri_cfg)
+                               sph_cfg=sph_cfg, tri_cfg=tri_cfg,
+                               has_time=time is not None)
     # cost model: a tile visits a handful of chunks after the first bounce;
     # charge ~1/8 of each ordered stage's dense scan plus full static stages
     flops_per_ray = ((40 * n_sph // 8 if sph_ord else 40 * n_sph)
@@ -1009,7 +1064,7 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[rs(3), rs(3), rs(1), rs(1), rs(1)]
+            in_specs=[rs(w) for w in ray_widths]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=[rs(1), rs(1), rs(1), rs(N_SLOTS)]
             + [rs(1)] * n_stats),
@@ -1024,7 +1079,7 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
             transcendentals=n_pad * max(sph_chunk, tri_chunk)),
         interpret=interpret,
     )(jnp.concatenate(words_parts), jnp.concatenate(cull_parts),
-      o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull)
+      *ray_ins, sph, rect, tri, cull, tcull, scull)
     t, ty, ix, data = out[:4]
     stats = (tuple(s[::TILE, 0] for s in out[4:]) if n_stats else None)
     t = t[:n, 0]
@@ -1077,7 +1132,7 @@ def _remap_winner_ids(ty_i, ix_i, data_i, prim, ids):
     return ix_i, data_i
 
 
-def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
+def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive, time=None):
     """Closest hit over tables larger than one kernel's VMEM capacity:
     Morton-sort each oversized table once, slice into spatially-compact
     slabs (SPH_SLAB spheres / TRI_SLAB triangles), and run the kernel per
@@ -1125,7 +1180,8 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
     sub0 = scene._replace(
         spheres=sph_slab(idx_s0) if n_s else s,
         triangles=(type(tr)(*[a[idx_t0] for a in tr]) if n_t else tr))
-    t_i, ty_i, ix_i, data_i = _run(sub0, o, d, t_min, tmax_cur, alive)
+    t_i, ty_i, ix_i, data_i = _run(sub0, o, d, t_min, tmax_cur, alive,
+                                   time=time)
     for prim, idx in ((PRIM_SPHERE, idx_s0 if n_s else None),
                       (PRIM_TRIANGLE, idx_t0 if n_t else None)):
         if idx is None or not idx.shape[0]:
@@ -1150,7 +1206,8 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
                                 vel if per_sph_vel else s.velocity,
                                 s.motion_marker),
                 rects=empty_rects, triangles=empty_tris)
-            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive)
+            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive,
+                                           time=time)
             ix_j, data_j = _remap_winner_ids(ty_j, ix_j, data_j,
                                              PRIM_SPHERE, ids)
             b, tmax_c = _fold_slab(tuple(b), tmax_c, t_j, ty_j, ix_j, data_j)
@@ -1169,7 +1226,8 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
             ids, tri_tbl = x
             sub = scene._replace(spheres=empty_sph, rects=empty_rects,
                                  triangles=tri_tbl)
-            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive)
+            t_j, ty_j, ix_j, data_j = _run(sub, o, d, t_min, tmax_c, alive,
+                                           time=time)
             ix_j, data_j = _remap_winner_ids(ty_j, ix_j, data_j,
                                              PRIM_TRIANGLE, ids)
             b, tmax_c = _fold_slab(tuple(b), tmax_c, t_j, ty_j, ix_j, data_j)
@@ -1180,13 +1238,17 @@ def _run_slabbed(scene: Scene, o, d, t_min, t_max, alive):
     return best
 
 
-def _run(scene: Scene, o, d, t_min, t_max, alive=None):
+def _run(scene: Scene, o, d, t_min, t_max, alive=None, time=None):
     global _last_order_stats
+    motion = bool(scene.spheres.motion_marker.shape[0]) and time is not None
+    n = o.shape[0]
+    time = (jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+            if motion else None)
     if (scene.spheres.radius.shape[0] > SPH_SLAB
             or scene.triangles.mat_id.shape[0] > TRI_SLAB):
-        return _run_slabbed(scene, o, d, t_min, t_max, alive)
-    sph, rect, tri, cull, tcull, scull, tscull = pack_tables(scene)
-    n = o.shape[0]
+        return _run_slabbed(scene, o, d, t_min, t_max, alive, time=time)
+    sph, rect, tri, cull, tcull, scull, tscull = pack_tables(
+        scene, with_motion=motion)
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(t_max, jnp.float32), BIG), (n,))
@@ -1200,15 +1262,25 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None):
         n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
         n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
         n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
-        interpret=interpret)
+        interpret=interpret, time=time)
     if stats is not None:
         _last_order_stats = stats
+    if motion:
+        # fold the winner's extracted velocity (slots 4..6) into its center
+        # slots: every downstream attrs consumer then sees the EFFECTIVE
+        # center c + v*t without knowing about motion at all
+        is_s = (ty == PRIM_SPHERE)[:, None]
+        data = data.at[:, 0:3].add(
+            jnp.where(is_s, data[:, 4:7] * time[:, None], 0.0))
     return t, ty, ix, data
 
 
-def intersect_pallas(scene: Scene, o, d, t_min, t_max, alive=None) -> Hit:
-    """Closest hit via the fused VMEM-resident kernel."""
-    t, ty, ix, _ = _run(scene, o, d, t_min, t_max, alive)
+def intersect_pallas(scene: Scene, o, d, t_min, t_max, alive=None,
+                     time=None) -> Hit:
+    """Closest hit via the fused VMEM-resident kernel. ``time`` (N,)
+    enables motion blur on moving-sphere scenes (c + v*t, ray.rs has no
+    time — extension)."""
+    t, ty, ix, _ = _run(scene, o, d, t_min, t_max, alive, time=time)
     return Hit(t, ty, ix)
 
 
@@ -1267,10 +1339,13 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
     return HitAttrs(valid, hit.t, p, normal, front_face, uv, mat_id), feats
 
 
-def intersect_pallas_full(scene: Scene, o, d, t_min, t_max, alive=None):
+def intersect_pallas_full(scene: Scene, o, d, t_min, t_max, alive=None,
+                          time=None):
     """One fused call: (Hit, HitAttrs, MatFeatures) — no table access in
-    the shading pass at all."""
-    t, ty, ix, data = _run(scene, o, d, t_min, t_max, alive)
+    the shading pass at all. With ``time``, moving-sphere winners arrive
+    with EFFECTIVE centers already folded in (_run), so the attrs math is
+    motion-agnostic."""
+    t, ty, ix, data = _run(scene, o, d, t_min, t_max, alive, time=time)
     hit = Hit(t, ty, ix)
     attrs, feats = attrs_from_winner_data(o, d, hit, data)
     return hit, attrs, feats
@@ -1501,6 +1576,7 @@ def bounce_fused_eligible(scene: Scene) -> bool:
     _run/_run_slabbed)."""
     return (scene.images.shape[0] == 0
             and scene.textures.noise_marker.shape[0] == 0
+            and scene.spheres.motion_marker.shape[0] == 0
             and scene.spheres.radius.shape[0] <= SPH_SLAB
             and scene.triangles.mat_id.shape[0] <= TRI_SLAB)
 

@@ -75,7 +75,10 @@ def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
     # (whole 16x16 blocks land on one chip, preserving the kernel's
     # tile-cull coherence). Eligibility mirrors render_fn's (static).
     from raytracer_tpu.ops.dispatch import _resolve
-    method = _resolve(scene, intersector)
+    # has_time=True: render_regen_soa draws per-sample shutter times itself
+    # when the scene moves, so moving scenes ride the kernel regen path
+    # (mirrors models/path_tracer.render_fn)
+    method = _resolve(scene, intersector, has_time=True)
     if (method in ("pallas", "leaf")
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import (
@@ -120,9 +123,18 @@ def render_sharded_fn(scene: Scene, key, *, mesh: Mesh, width: int,
             k_cam = jax.random.fold_in(jax.random.fold_in(dev_key, 7), i)
             k_trace = jax.random.fold_in(jax.random.fold_in(dev_key, 11), i)
             o, d = camera_rays(scene_rep.camera, k_cam, ids_rep, width, height)
+            time = None
+            if scene_rep.spheres.motion_marker.shape[0]:
+                # per-ray shutter times (render_fn fallback parity) — without
+                # them moving spheres would silently freeze at t=0
+                cam = scene_rep.camera
+                time = cam.time0 + jax.random.uniform(
+                    jax.random.fold_in(k_cam, 31),
+                    (o.shape[0],)) * (cam.time1 - cam.time0)
             res = trace_radiance(
                 scene_rep, o, d, k_trace, max_depth=max_depth, t_min=t_min,
-                spawn_eps=spawn_eps, intersector=intersector, nee=nee)
+                spawn_eps=spawn_eps, intersector=intersector, nee=nee,
+                time=time)
             rad = res.radiance.reshape(chunk, n_local, 3).sum(axis=0)
             # rays metric = intersections executed; bounce 0 already counts
             # the primaries (same fix as models/path_tracer.py)

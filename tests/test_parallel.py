@@ -102,3 +102,30 @@ def test_pixel_padding_nondivisible(key):
     img, _ = prender.render(scene, c, key, mesh)
     assert np.asarray(img).shape == (22, 30, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sharded_motion_blur_threads_times(key):
+    """Moving scenes must draw per-sample shutter times under shard_map
+    (parallel/render.py regen + fallback paths). A silent t=0 freeze —
+    the pre-fix behavior — leaves the sweep's far end black: the emissive
+    sphere travels from x=-3 (t=0) to x=+3 (t=1), so blur must reach the
+    right columns. Sharded and single-chip means over that region agree
+    statistically (independent RNG partitions)."""
+    from raytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    lit = b.diffuse_light(b.constant_texture((4.0, 4.0, 4.0)))
+    b.add_moving_sphere((-3.0, 0.0, 0.0), (3.0, 0.0, 0.0), 1.0, lit)
+    b.set_camera((0.0, 0.0, 12.0), (0.0, 0.0, 0.0), time0=0.0, time1=1.0)
+    scene = b.compile(aspect_ratio=1.0)
+
+    c = cfg(width=32, height=32, samples_per_pixel=32, spp_chunk=8,
+            max_depth=4)
+    mesh = prender.make_mesh(n_px=8, n_spp=1)
+    img_sh, _ = prender.render(scene, c, key, mesh)
+    right_sh = float(np.asarray(img_sh)[:, 20:, :].mean())
+    assert right_sh > 1e-3  # frozen-at-t0 renders this region exactly 0
+
+    img1, _ = path_tracer.render(scene, c, key)
+    right1 = float(np.asarray(img1)[:, 20:, :].mean())
+    assert abs(right_sh - right1) / max(right1, 1e-6) < 0.25
