@@ -610,6 +610,12 @@ def render(scene: Scene, config: RenderConfig, key,
             "SPPM requires at least one light in the scene (photon emission "
             "has nothing to sample); use --integrator pt for light-free "
             "scenes")
+    if scene.spheres.motion_marker.shape[0]:
+        raise ValueError(
+            "SPPM does not support motion blur (photon/visible-point maps "
+            "have no shutter-time dimension — the whole iteration would "
+            "silently freeze at t=0); use --integrator pt, which draws "
+            "per-sample shutter times")
     npix = config.width * config.height
     if state is None:
         state = init_state(npix)

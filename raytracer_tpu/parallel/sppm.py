@@ -260,6 +260,10 @@ def render_sppm(scene: Scene, config, key, mesh: Mesh = None, state=None,
     sp = config.sppm
     if scene.lights.kind.shape[0] == 0:
         raise ValueError("SPPM requires at least one light in the scene")
+    if scene.spheres.motion_marker.shape[0]:
+        raise ValueError(
+            "SPPM does not support motion blur (see models/sppm.render); "
+            "use the PT integrator for moving scenes")
     npix = config.width * config.height
     if state is None:
         state = sppm_model.init_state(npix)

@@ -12,11 +12,16 @@ work. Schema (reverse-engineered from the files themselves):
     as *grouping only* and rebuild our own acceleration structure (the
     file's bounding_box is redundant, it is recomputable)
   - ``Sphere {center{x,y,z}, radius, material}``
+  - ``MovingSphere {center0, center1, radius, material}`` (extension — the
+    reference files have no motion, SURVEY.md §8; also accepted as a plain
+    Sphere with a ``center1`` key; center0 at t=0, center1 at t=1, sampled
+    over the camera ``time0``/``time1`` shutter)
 - materials: ``Lambertian {albedo: <texture>}``, ``Metal {albedo: {x,y,z},
   fuzz}``, ``Dielectric {ref_idx}`` (no tint -> white),
   ``DiffuseLight {emit: <texture>}``
 - textures: ``ConstantTexture {color{x,y,z}}``, ``CheckerTexture {t0, t1}``
 - camera: ``{look_from, look_at, vup, vfov, aspect, aperture, focus_dist}``
+  (+ optional ``time0``/``time1`` shutter window, extension)
 
 ``data/test.json`` uses a variant schema (``object_type`` key, no material);
 we accept it with a default gray Lambertian.
@@ -109,15 +114,26 @@ class _Loader:
             self.obj(spec["left"])
             if spec.get("right") is not None and spec["right"] != spec["left"]:
                 self.obj(spec["right"])
-        elif kind == "Sphere":
+        elif kind in ("Sphere", "MovingSphere"):
             if "material" in spec:
                 mid, emissive = self.material(spec["material"])
             else:  # test.json variant has no material
                 mid, emissive = self.b.lambertian(
                     self.b.constant_texture((0.5, 0.5, 0.5))), None
-            center = _vec(spec["center"])
             radius = float(spec["radius"])
-            self.b.add_sphere(center, radius, mid)
+            # extension schema: MovingSphere {center0, center1} or a plain
+            # Sphere with a center1 key — center0 at t=0, center1 at t=1,
+            # sampled over the camera shutter [time0, time1]
+            # (builder.add_moving_sphere semantics; the reference files
+            # have no motion, SURVEY.md §8)
+            if kind == "MovingSphere" or "center1" in spec:
+                c0 = _vec(spec.get("center0") or spec["center"])
+                c1 = _vec(spec["center1"])
+                self.b.add_moving_sphere(c0, c1, radius, mid)
+                center = c0
+            else:
+                center = _vec(spec["center"])
+                self.b.add_sphere(center, radius, mid)
             if emissive is not None and any(c > 0 for c in emissive):
                 self.b._push_light(0, center, (0, 0, 0), radius, emissive, 1.0)
         elif kind is None and isinstance(spec, list):
@@ -151,5 +167,7 @@ def load_scene(path: str, aspect_ratio: Optional[float] = None) -> Scene:
         vup=_vec(cam["vup"]), vfov=float(cam["vfov"]),
         aspect_ratio=float(cam.get("aspect", 1.0)),
         aperture=float(cam.get("aperture", 0.0)),
-        focus_dist=float(cam.get("focus_dist", 10.0)))
+        focus_dist=float(cam.get("focus_dist", 10.0)),
+        time0=float(cam.get("time0", 0.0)),
+        time1=float(cam.get("time1", 0.0)))
     return ld.b.compile(aspect_ratio=aspect_ratio)

@@ -76,3 +76,62 @@ def test_bad_file_fails_fast(tmp_path):
     p.write_text('{"objects": {"type": "Frobnicator"}, "camera": {}}')
     with pytest.raises(ValueError, match="Frobnicator"):
         load_scene(str(p))
+
+
+def test_moving_sphere_extension_schema(tmp_path):
+    """MovingSphere {center0, center1} (extension — SURVEY.md §8: the
+    reference files carry no motion) plus camera time0/time1 compile to a
+    motion-marked scene that sweeps over the shutter."""
+    import json
+    doc = {
+        "objects": {"type": "HitableList", "items": [
+            {"type": "MovingSphere",
+             "center0": {"x": -2.0, "y": 0.0, "z": 0.0},
+             "center1": {"x": 2.0, "y": 0.0, "z": 0.0},
+             "radius": 1.0,
+             "material": {"type": "Lambertian", "albedo": {
+                 "type": "ConstantTexture",
+                 "color": {"x": 0.5, "y": 0.5, "z": 0.5}}}},
+            {"type": "Sphere",
+             "center": {"x": 0.0, "y": -101.0, "z": 0.0},
+             "center1": {"x": 0.0, "y": -100.0, "z": 0.0},
+             "radius": 100.0,
+             "material": {"type": "Lambertian", "albedo": {
+                 "type": "ConstantTexture",
+                 "color": {"x": 0.5, "y": 0.5, "z": 0.5}}}},
+        ]},
+        "camera": {"look_from": {"x": 0.0, "y": 0.0, "z": 10.0},
+                   "look_at": {"x": 0.0, "y": 0.0, "z": 0.0},
+                   "vup": {"x": 0.0, "y": 1.0, "z": 0.0},
+                   "vfov": 40.0, "time0": 0.25, "time1": 0.75},
+    }
+    p = tmp_path / "motion.json"
+    p.write_text(json.dumps(doc))
+    s = load_scene(str(p))
+    assert s.spheres.motion_marker.shape[0] == 1   # scene is motion-marked
+    assert s.spheres.velocity.shape[0] == 2        # per-sphere velocities
+    v = np.asarray(s.spheres.velocity)
+    np.testing.assert_allclose(sorted(np.abs(v).max(1)), [1.0, 4.0])
+    np.testing.assert_allclose(float(s.camera.time0), 0.25)
+    np.testing.assert_allclose(float(s.camera.time1), 0.75)
+
+
+def test_sppm_rejects_motion_scenes():
+    """SPPM has no shutter-time dimension; a moving scene must fail fast
+    instead of silently freezing at t=0 (failure-detection parity,
+    SURVEY.md §5.3)."""
+    import jax
+    from raytracer_tpu.models import sppm
+    from raytracer_tpu.scene import SceneBuilder
+    from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+
+    b = SceneBuilder()
+    b.add_sphere_light((0.0, 5.0, 0.0), 1.0, (4.0, 4.0, 4.0), 1.0)
+    m = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+    b.add_moving_sphere((-1.0, 0.0, 0.0), (1.0, 0.0, 0.0), 1.0, m)
+    b.set_camera((0.0, 0.0, 10.0), (0.0, 0.0, 0.0), time0=0.0, time1=1.0)
+    scene = b.compile()
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1,
+                       sppm=SPPMConfig(n_iterations=1, photons_per_iter=128))
+    with pytest.raises(ValueError, match="motion"):
+        sppm.render(scene, cfg, jax.random.PRNGKey(0))
