@@ -93,6 +93,14 @@ def main():
     (img3, rays_m), dt_m = _timed(pt.render_fn, mscene, key, **kw2)
     mrays_mesh = int(rays_m) / dt_m / 1e6
 
+    # motion blur (round-3 extension): 1000 moving spheres through the
+    # kernel's velocity rows + shutter-dilated culls, regen per-sample
+    # times (ops/pallas_intersect.SPH_VEL_ROW)
+    from raytracer_tpu.scene.builtin import motion_field
+    moscene = motion_field(1000)
+    (img4, rays_mo), dt_mo = _timed(pt.render_fn, moscene, key, **kw2)
+    mrays_motion = int(rays_mo) / dt_mo / 1e6
+
     # the driver's other named scene configs (BASELINE.md): scene_10 at
     # its stated 400x225@100spp, scene_200_no_bvh (405 spheres, the "pure
     # batched intersection throughput" config) at the headline geometry
@@ -204,6 +212,8 @@ def main():
         "field160k_s_per_8spp": round(dt_f2, 3),
         "mrays_mesh124k": round(mrays_mesh, 2),
         "mesh124k_s_per_8spp": round(dt_m, 3),
+        "mrays_motion1k": round(mrays_motion, 2),
+        "motion1k_s_per_8spp": round(dt_mo, 3),
         "mrays_scene10": round(int(rays_10) / dt_10 / 1e6, 2),
         "scene10_s_per_100spp_400x225": round(dt_10, 3),
         "mrays_scene200": round(rays_200 / dt_200 / 1e6, 2),

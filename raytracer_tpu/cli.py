@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--scene", default="cornell",
                    help="'cornell', 'spheres', 'field[:N]' (N-sphere "
                         "stress field), 'bunnies[:N]' (N-bunny mesh "
-                        "field), or a data/*.json|yaml path")
+                        "field), 'motion[:N]' (N moving spheres), or a "
+                        "data/*.json|yaml path")
     r.add_argument("--integrator", choices=["pt", "sppm"], default="pt",
                    help="path tracer or SPPM (the reference's algorithm)")
     r.add_argument("--width", type=int, default=800)
@@ -93,6 +94,9 @@ def load_scene_arg(name: str, aspect: float):
     if name == "bunnies" or name.startswith("bunnies:"):
         from raytracer_tpu.scene.builtin import bunny_field
         return bunny_field(_count(25), aspect_ratio=aspect)
+    if name == "motion" or name.startswith("motion:"):
+        from raytracer_tpu.scene.builtin import motion_field
+        return motion_field(_count(1000), aspect_ratio=aspect)
     from raytracer_tpu.scene.loader import load_scene
     return load_scene(name, aspect_ratio=aspect)
 

@@ -158,3 +158,38 @@ def bunny_field(n_bunnies: int = 25, aspect_ratio: float = 4.0 / 3.0,
                  look_at=(0.0, 0.3, 0.0), vfov=50.0,
                  aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=10.0)
     return b.compile()
+
+
+def motion_field(n: int = 1000, aspect_ratio: float = 4.0 / 3.0,
+                 seed: int = 0):
+    """Motion-blur stress/bench scene (extension — the reference Ray is
+    timeless, ray.rs:3-6): n moving spheres with random velocities over a
+    checker ground, lit by a sphere light, camera shutter [0, 1].
+    Exercises the kernel's velocity rows + shutter-dilated culls
+    (ops/pallas_intersect.SPH_VEL_ROW) and the regen wavefront's
+    per-sample time state."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker_texture((0.2, 0.3, 0.1),
+                                            (0.9, 0.9, 0.9)))
+    b.add_sphere((0.0, -10000.0, 0.0), 10000.0, ground)
+    side = int(np.ceil(np.sqrt(n)))
+    r = rng.uniform(0.12, 0.32, n)
+    jit = rng.uniform(-0.35, 0.35, (2, n))
+    vel = rng.uniform(-0.6, 0.6, (n, 3))
+    vel[:, 1] = np.abs(vel[:, 1]) * 0.5          # hop upward, book-2 style
+    albedo = rng.uniform(0.2, 0.95, (n, 3))
+    mats = [b.lambertian(b.constant_texture(tuple(albedo[i])))
+            for i in range(0, n, max(1, n // 48))]
+    for i in range(n):
+        x = (i % side) - side / 2 + jit[0, i]
+        z = (i // side) - side / 2 + jit[1, i]
+        c0 = (float(x), float(r[i]), float(z))
+        c1 = tuple(float(a + v) for a, v in zip(c0, vel[i]))
+        b.add_moving_sphere(c0, c1, float(r[i]), mats[i % len(mats)])
+    b.add_sphere_light((0.0, 60.0, 0.0), 20.0, (4.0, 4.0, 4.0), 100.0)
+    b.set_camera(look_from=(0.0, 6.0, float(side) * 0.55),
+                 look_at=(0.0, 0.5, 0.0), vfov=55.0,
+                 aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=20.0,
+                 time0=0.0, time1=1.0)
+    return b.compile()

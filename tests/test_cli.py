@@ -60,3 +60,20 @@ def test_render_field_builtin(tmp_path):
                "--width", "24", "--height", "18", "--spp", "2",
                "--max-depth", "3", "--out", out])
     assert rc == 0 and os.path.exists(out)
+
+
+def test_render_motion_builtin(tmp_path):
+    out = str(tmp_path / "motion.png")
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "motion:64", "--integrator", "pt",
+               "--width", "24", "--height", "18", "--spp", "2",
+               "--max-depth", "3", "--out", out])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_sppm_motion_fails_fast(tmp_path):
+    with pytest.raises(ValueError, match="motion"):
+        main(["render", "--jax-cache", str(tmp_path / "jc"),
+              "--scene", "motion:16", "--integrator", "sppm",
+              "--width", "8", "--height", "8", "--spp", "1",
+              "--out", str(tmp_path / "x.png")])

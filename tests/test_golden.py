@@ -54,3 +54,15 @@ def test_golden_cornell_sppm():
     img, _, _ = sppm.render(cornell_box(with_mesh=True), cfg,
                             jax.random.PRNGKey(7))
     check_against("cornell_sppm_32.npz", img)
+
+
+def test_golden_motion_field():
+    """Regression anchor for the motion-blur path (kernel velocity rows +
+    regen per-sample times): a different seed partition or a c+v*t change
+    shifts the blur and trips the bands."""
+    from raytracer_tpu.scene.builtin import motion_field
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=64, spp_chunk=8,
+                       max_depth=8)
+    img, _ = path_tracer.render(motion_field(64, aspect_ratio=1.0), cfg,
+                                jax.random.PRNGKey(7))
+    check_against("motion_field_32.npz", img)
