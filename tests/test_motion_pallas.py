@@ -169,3 +169,32 @@ def test_motion_render_regen_matches_aos(key):
     frozen = b2.compile()
     img_f, _ = pt.render_fn(frozen, key, intersector="auto", **kw)
     assert float(jnp.abs(img_f - img_k).max()) > 0.01
+
+
+def test_slabbed_motion_matches_single(key):
+    """The Morton-slabbed chain must thread per-ray times into every
+    per-slab kernel call (velocity rows travel with each slab's table
+    slice) — winner t/type/data identical to the single-kernel path."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+
+    scene = _moving_field(300)
+    n = 512
+    k1, k2, k3 = jax.random.split(key, 3)
+    o = jax.random.uniform(k1, (n, 3), minval=-12.0, maxval=12.0)
+    d = jax.random.normal(k2, (n, 3))
+    times = jax.random.uniform(k3, (n,))
+    t1, ty1, ix1, data1 = pi._run(scene, o, d, 1e-3, jnp.inf, time=times)
+    old = pi.SPH_SLAB
+    try:
+        pi.SPH_SLAB = 128            # 300 spheres -> 3 slabs
+        t2, ty2, ix2, data2 = pi._run(scene, o, d, 1e-3, jnp.inf,
+                                      time=times)
+    finally:
+        pi.SPH_SLAB = old
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
+    hit = np.isfinite(np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
+    np.testing.assert_allclose(np.asarray(data1)[hit],
+                               np.asarray(data2)[hit], rtol=1e-5, atol=1e-5)
