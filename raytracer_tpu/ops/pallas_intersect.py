@@ -85,6 +85,10 @@ SPH_VEL_SLOTS = [4, 5, 6]
 ORDER_MIN_CHUNKS = 16
 ORDER_MAX_CHUNKS = 256
 ORDER_SMEM_BUDGET = 600_000
+# Clamp each lane's walk reach by its exit-t from the stage's global AABB
+# (sky lanes otherwise keep reach infinite in open scenes). Trace-time
+# constant, A/B via a fresh process (experiments/reach_clamp_bench.py).
+REACH_CLAMP = True
 # Debug: ordered-walk kernels also emit per-tile (chunks walked, bodies
 # run). Trace-time constant — clear _call_kernel caches after toggling.
 ORDER_STATS = False
@@ -601,7 +605,8 @@ def _tile_chunk_order(o, alive, scull):
 
 def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
                   cull_ref, tile, *, w_words: int, k_ch: int,
-                  word_base: int = 0, cull_base: int = 0):
+                  word_base: int = 0, cull_base: int = 0,
+                  stage_box_ref=None):
     """Per-tile distance-ordered dynamic SUPERCHUNK walk — the dense
     kernel's O(chunks-actually-reachable) mode for large tables (the
     answer to bvh.rs:60-101 at 16k+ primitives). Generic over the
@@ -633,9 +638,43 @@ def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
     ``cull_ref`` holds this stage's flattened [chunk culls (6*k_ch) |
     super culls (6*k_sup)] starting at ``cull_base`` (stages share one
     SMEM table); ``order_ref`` likewise holds this stage's words at
-    ``word_base``. ``k_ch`` chunks must be a SUPER multiple."""
+    ``word_base``. ``k_ch`` chunks must be a SUPER multiple.
+
+    ``stage_box_ref`` (optional): this stage's VMEM cull table (6, k) —
+    rows [lox,loy,loz,hix,hiy,hiz]; pad chunks carry inverted boxes so
+    plain row min/max reductions give the STAGE's global AABB. Every hit
+    this stage can produce lies inside that box, so each lane's remaining
+    reach is additionally capped by its exit-t from it. Without the cap,
+    any sky-bound lane keeps best_t = tmax = BIG and ``done_now`` never
+    fires on open-scene bounce wavefronts (measured round 3: "bounce all"
+    walked every super); with it, outward-heading lanes get a finite
+    reach the moment the walk starts."""
     k_sup = k_ch // SUPER
     am = alive > 0.5
+    t_cap = None
+    if stage_box_ref is not None:
+        sblo_x = jnp.min(stage_box_ref[0:1, :])
+        sblo_y = jnp.min(stage_box_ref[1:2, :])
+        sblo_z = jnp.min(stage_box_ref[2:3, :])
+        sbhi_x = jnp.max(stage_box_ref[3:4, :])
+        sbhi_y = jnp.max(stage_box_ref[4:5, :])
+        sbhi_z = jnp.max(stage_box_ref[5:6, :])
+        t0x = (sblo_x - rv.ox) * rv.inv_dx
+        t1x = (sbhi_x - rv.ox) * rv.inv_dx
+        t0y = (sblo_y - rv.oy) * rv.inv_dy
+        t1y = (sbhi_y - rv.oy) * rv.inv_dy
+        t0z = (sblo_z - rv.oz) * rv.inv_dz
+        t1z = (sbhi_z - rv.oz) * rv.inv_dz
+        enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+        leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.maximum(t0z, t1z))
+        # 1e-3 relative slack (conservative direction: a LARGER cap only
+        # weakens the cull) absorbs the f32 rounding between this slab
+        # arithmetic and the chunk bodies' exact hit t
+        t_cap = jnp.where(enter <= leave, leave * 1.001 + 1e-4, 0.0)
     tlo_x = jnp.min(jnp.where(am, rv.ox, BIG))
     tlo_y = jnp.min(jnp.where(am, rv.oy, BIG))
     tlo_z = jnp.min(jnp.where(am, rv.oz, BIG))
@@ -669,14 +708,16 @@ def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
         # 1e-3 relative slack absorbs the f32 rounding between this g2
         # and the squared reach (the gap itself matches the XLA order
         # exactly — see _tile_chunk_order)
-        reach = jnp.max(jnp.where(am, c0 * d_len, 0.0))
+        c0_cap = c0 if t_cap is None else jnp.minimum(c0, t_cap)
+        reach = jnp.max(jnp.where(am, c0_cap * d_len, 0.0))
         done_now = g2 > reach * reach * 1.001 + 1e-9
         carry = (c0, c1, c2, c3)
 
         def run(state, sidx=sidx):
             nbod, c = state[0], state[1:]
+            cap = c[0] if t_cap is None else jnp.minimum(c[0], t_cap)
             slab_super = _tile_slab_any_vals(
-                rv, lox, loy, loz, hix, hiy, hiz, c[0])
+                rv, lox, loy, loz, hix, hiy, hiz, cap)
 
             def super_body(state):
                 nbod, c = state[0], state[1:]
@@ -688,8 +729,10 @@ def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
                     mhix = cull_ref[cbase + 3 * k_ch + idx]
                     mhiy = cull_ref[cbase + 4 * k_ch + idx]
                     mhiz = cull_ref[cbase + 5 * k_ch + idx]
+                    mcap = (c[0] if t_cap is None
+                            else jnp.minimum(c[0], t_cap))
                     slab = _tile_slab_any_vals(
-                        rv, mlox, mloy, mloz, mhix, mhiy, mhiz, c[0])
+                        rv, mlox, mloy, mloz, mhix, mhiy, mhiz, mcap)
 
                     def chunk_body(c, idx=idx):
                         return chunk_fold(c, idx)
@@ -876,7 +919,8 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
 
             carry, w, b = stage_ordered(
                 carry, rv, alive, sph_fold, order_ref, cullf_ref, tile,
-                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb)
+                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb,
+                stage_box_ref=scull_ref if REACH_CLAMP else None)
             walked, nbod = walked + w, nbod + b
         else:
             carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
@@ -894,7 +938,8 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
 
             carry, w, b = stage_ordered(
                 carry, rv, alive, tri_fold, order_ref, cullf_ref, tile,
-                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb)
+                w_words=w_words, k_ch=k_ch, word_base=wb, cull_base=cb,
+                stage_box_ref=tcull_ref if REACH_CLAMP else None)
             walked, nbod = walked + w, nbod + b
         else:
             carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
