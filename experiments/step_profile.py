@@ -67,7 +67,7 @@ def profile_scene(path, n, k_steps, width=800, height=600):
         # the step's full threefry budget alone: scatter's 5 + RR's 1 +
         # camera respawn's 5 uniforms over n
         k = jax.random.fold_in(key, i)
-        u = ws.scatter_uniforms(k, n).sum(axis=1)
+        u = ws.scatter_uniforms(k, n).sum(axis=0)
         u = u + jax.random.uniform(jax.random.fold_in(k, 37), (n,))
         spawn_k = jax.random.fold_in(jax.random.fold_in(key, 7), i + 1)
         cox, coy, coz, cdx, cdy, cdz = ws.camera_rays_soa(
@@ -94,6 +94,16 @@ def profile_scene(path, n, k_steps, width=800, height=600):
         b = ws.bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
                            t_min=1e-3, spawn_eps=1e-4 * scene.scale,
                            intersector="pallas", fused=False)
+        s = (b.ndx + b.ndy + b.ndz + b.nox + b.noy + b.noz + b.ar + b.ag
+             + b.ab + b.er + b.eg + b.eb + b.inter)
+        return dep(s, ox, oy, oz, dx, dy, dz)
+
+    def body_fused(i, ox, oy, oz, dx, dy, dz):
+        # the fused megakernel replacing kernel+attrs+scatter in one call
+        k = jax.random.fold_in(key, i)
+        b = ws.bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+                           t_min=1e-3, spawn_eps=1e-4 * scene.scale,
+                           intersector="pallas", fused=True)
         s = (b.ndx + b.ndy + b.ndz + b.nox + b.noy + b.noz + b.ar + b.ag
              + b.ab + b.er + b.eg + b.eb + b.inter)
         return dep(s, ox, oy, oz, dx, dy, dz)
@@ -141,7 +151,9 @@ def profile_scene(path, n, k_steps, width=800, height=600):
     rows = {}
     for name, body in [("rng_only", body_rng), ("kernel", body_kernel),
                        ("+attrs", body_attrs),
-                       ("+scatter", body_scatter), ("+accum+rr", body_accum),
+                       ("+scatter", body_scatter),
+                       ("fused_bounce", body_fused),
+                       ("+accum+rr", body_accum),
                        ("+regen(full)", body_full)]:
         run = mk_loop(body)
         _, dt = timed(run, ox, oy, oz, dx, dy, dz)
@@ -170,8 +182,8 @@ def main():
         rows = profile_scene(path, n, k)
         print(f"== {path} n={n} K={k} (ms/step) ==")
         prev = 0.0
-        for name in ["rng_only", "kernel", "+attrs", "+scatter", "+accum+rr",
-                     "+regen(full)"]:
+        for name in ["rng_only", "kernel", "+attrs", "+scatter",
+                     "fused_bounce", "+accum+rr", "+regen(full)"]:
             d = rows[name]
             print(f"  {name:14s} {d:8.2f}  (delta {d - prev:+7.2f})")
             prev = d

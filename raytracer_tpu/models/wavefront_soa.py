@@ -86,8 +86,10 @@ class FeatSoA(NamedTuple):
 
 
 def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
-    """HitAttrs + features from the pallas kernel's winner data, all (N,)
-    components (mirrors pallas_intersect.attrs_from_winner_data)."""
+    """HitAttrs + features from the pallas kernel's winner data
+    (``data``: (N_SLOTS, N) component ROWS — each slot a contiguous (N,)
+    slice), all (N,) components (mirrors
+    pallas_intersect.attrs_from_winner_data)."""
     valid = jnp.isfinite(t)
     tt = jnp.where(valid, t, 0.0)
     px = ox + tt * dx
@@ -97,31 +99,31 @@ def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
     # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]; slot 15 carries exact
     # r^2 on the dense-kernel path (the csq expansion cancels at large
     # coordinates); leaf winners leave slot 15 at 0 -> csq fallback
-    cx, cy, cz = data[:, 0], data[:, 1], data[:, 2]
+    cx, cy, cz = data[0], data[1], data[2]
     # prefer the EXACT r^2 (slot 15, dense path); the csq expansion loses
     # ~ulp(|c|^2) to cancellation at large coordinates and taking max()
     # would keep the WRONG value whenever the expansion lands high
     r = jnp.sqrt(jnp.maximum(
-        jnp.where(data[:, 15] > 0.0, data[:, 15],
-                  cx * cx + cy * cy + cz * cz - data[:, 3]), 1e-20))
+        jnp.where(data[15] > 0.0, data[15],
+                  cx * cx + cy * cy + cz * cz - data[3]), 1e-20))
     inv_r = 1.0 / r
     snx, sny, snz = (px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r
 
     # rect: slots [n(3), a_hot(3), b_hot(3), k, a0, a1, b0, b1]
-    rnx, rny, rnz = data[:, 0], data[:, 1], data[:, 2]
-    pa = px * data[:, 3] + py * data[:, 4] + pz * data[:, 5]
-    pb = px * data[:, 6] + py * data[:, 7] + pz * data[:, 8]
-    a0, a1 = data[:, 10], data[:, 11]
-    b0, b1 = data[:, 12], data[:, 13]
+    rnx, rny, rnz = data[0], data[1], data[2]
+    pa = px * data[3] + py * data[4] + pz * data[5]
+    pb = px * data[6] + py * data[7] + pz * data[8]
+    a0, a1 = data[10], data[11]
+    b0, b1 = data[12], data[13]
     rect_u = (pa - a0) / jnp.where(a1 != a0, a1 - a0, 1.0)
     rect_v = (pb - b0) / jnp.where(b1 != b0, b1 - b0, 1.0)
 
     # triangle: slots [b1, b2, n0(3), n1(3), n2(3)]
-    tb1, tb2 = data[:, 0], data[:, 1]
+    tb1, tb2 = data[0], data[1]
     tb0 = 1.0 - tb1 - tb2
-    tnx = tb0 * data[:, 2] + tb1 * data[:, 5] + tb2 * data[:, 8]
-    tny = tb0 * data[:, 3] + tb1 * data[:, 6] + tb2 * data[:, 9]
-    tnz = tb0 * data[:, 4] + tb1 * data[:, 7] + tb2 * data[:, 10]
+    tnx = tb0 * data[2] + tb1 * data[5] + tb2 * data[8]
+    tny = tb0 * data[3] + tb1 * data[6] + tb2 * data[9]
+    tnz = tb0 * data[4] + tb1 * data[7] + tb2 * data[10]
     tnx, tny, tnz = _unit3(tnx, tny, tnz)
 
     is_s = ty == PRIM_SPHERE
@@ -141,12 +143,12 @@ def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
 
     fb = N_GEO_SLOTS
     feats = FeatSoA(
-        kind=jnp.round(data[:, fb + 0]).astype(jnp.int32),
-        fuzz=data[:, fb + 1], ir=jnp.maximum(data[:, fb + 2], 1e-6),
-        tex_kind=jnp.round(data[:, fb + 3]).astype(jnp.int32),
-        c0r=data[:, fb + 4], c0g=data[:, fb + 5], c0b=data[:, fb + 6],
-        c1r=data[:, fb + 7], c1g=data[:, fb + 8], c1b=data[:, fb + 9],
-        image_id=jnp.round(data[:, fb + 10]).astype(jnp.int32))
+        kind=jnp.round(data[fb + 0]).astype(jnp.int32),
+        fuzz=data[fb + 1], ir=jnp.maximum(data[fb + 2], 1e-6),
+        tex_kind=jnp.round(data[fb + 3]).astype(jnp.int32),
+        c0r=data[fb + 4], c0g=data[fb + 5], c0b=data[fb + 6],
+        c1r=data[fb + 7], c1g=data[fb + 8], c1b=data[fb + 9],
+        image_id=jnp.round(data[fb + 10]).astype(jnp.int32))
     return HitSoA(valid, t, px, py, pz, nx, ny, nz, front, u, v), feats
 
 
@@ -278,14 +280,15 @@ def scatter_uniforms(key, n: int):
     """The five uniforms scatter_soa draws, with its EXACT threefry splits
     (k_diff/k_metal/k_diel out of split(key, 4), sub-splits inside
     _uniform_sphere) — feeding these into the fused bounce kernel makes it
-    stream-identical to the unfused path. (N, 5)."""
+    stream-identical to the unfused path. (5, N) rows (the kernel's
+    rays-on-lanes layout)."""
     k_diff, k_metal, k_diel, _k_iso = jax.random.split(key, 4)
     kd1, kd2 = jax.random.split(k_diff)
     km1, km2 = jax.random.split(k_metal)
     return jnp.stack([
         jax.random.uniform(kd1, (n,)), jax.random.uniform(kd2, (n,)),
         jax.random.uniform(km1, (n,)), jax.random.uniform(km2, (n,)),
-        jax.random.uniform(k_diel, (n,))], axis=1)
+        jax.random.uniform(k_diel, (n,))], axis=0)
 
 
 class Bounce(NamedTuple):
@@ -360,22 +363,24 @@ def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
     scatter_soa XLA stage. Both produce stream-identical results (the fused
     kernel receives scatter_uniforms(k) drawn with scatter_soa's splits)."""
     n = ox.shape[0]
-    o3 = jnp.stack([ox, oy, oz], -1)
-    d3 = jnp.stack([dx, dy, dz], -1)
     if fused:
         from raytracer_tpu.ops.pallas_intersect import bounce_fused
         eps = jnp.broadcast_to(
-            jnp.asarray(spawn_eps, jnp.float32), (n,))[:, None]
-        uni = jnp.concatenate([scatter_uniforms(k, n), eps], axis=1)
+            jnp.asarray(spawn_eps, jnp.float32), (n,))[None]
+        uni_t = jnp.concatenate([scatter_uniforms(k, n), eps], axis=0)
+        o3t = jnp.stack([ox, oy, oz], 0)
+        d3t = jnp.stack([dx, dy, dz], 0)
         inter, no3, nd3, att, emit, p3, n3 = bounce_fused(
-            scene, o3, d3, t_min, alive, uni)
+            scene, o3t, d3t, t_min, alive, uni_t, time=time)
         return Bounce(inter,
-                      att[:, 0], att[:, 1], att[:, 2],
-                      emit[:, 0], emit[:, 1], emit[:, 2],
-                      no3[:, 0], no3[:, 1], no3[:, 2],
-                      nd3[:, 0], nd3[:, 1], nd3[:, 2],
-                      p3[:, 0], p3[:, 1], p3[:, 2],
-                      n3[:, 0], n3[:, 1], n3[:, 2])
+                      att[0], att[1], att[2],
+                      emit[0], emit[1], emit[2],
+                      no3[0], no3[1], no3[2],
+                      nd3[0], nd3[1], nd3[2],
+                      p3[0], p3[1], p3[2],
+                      n3[0], n3[1], n3[2])
+    o3 = jnp.stack([ox, oy, oz], -1)
+    d3 = jnp.stack([dx, dy, dz], -1)
     if intersector == "leaf":
         t, ty, _ix, data = _leaf_run(scene, o3, d3, t_min, alive)
     else:

@@ -57,16 +57,296 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.ops.intersect import Hit
 from raytracer_tpu.ops.pallas_intersect import (
-    BIG, N_FEAT, N_GEO_SLOTS, N_SLOTS, TILE, _feature_rows,
-    attrs_from_winner_data, finish_carry, init_carry, pack_rect_tri,
-    ray_vals, rect_stage, sphere_stage, tri_stage,
+    BIG, CHUNK, N_FEAT, N_GEO_SLOTS, N_SLOTS, RayVals, SPH_CHUNK,
+    SPH_RSQ_ROW, SPH_VEL_ROW, SPH_VEL_SLOTS, SPHERE_SLOTS, SUPER, TILE,
+    _feature_rows, attrs_from_winner_data, eff_chunk, pack_rect_tri,
 )
-from raytracer_tpu.scene.types import PRIM_SPHERE, LeafTables, Scene
+from raytracer_tpu.scene.types import (
+    PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, LeafTables, Scene,
+)
 
 LEAF_SIZE = 32   # spheres per leaf; K_SLOTS * LEAF_SIZE = the 128-lane window
 K_SLOTS = 4      # leaves gathered per ray per iteration
 BIG_CHUNK = 128  # dense big-sphere chunk width
 L_ALIGN = 32     # leaf-count padding multiple (keeps K*L lane-aligned)
+
+
+# --------------------------------------------------------------------------
+# FROZEN round-3 COLUMN-layout helpers. The dense kernel
+# (ops/pallas_intersect.py) moved to rays-on-the-lane-axis in round 4; the
+# leaf kernel below is an explicitly rejected-but-kept alternative (see the
+# module docstring), so it keeps the measured round-3 layout verbatim:
+# rays on sublanes ((TILE,1) per-ray columns), tables as (rows, prims)
+# component planes, winner data as (TILE, N_SLOTS). Its _run() transposes
+# pack_rect_tri's (prims, rows) tables back and emits (N_SLOTS, N) winner
+# data at the boundary so every downstream consumer sees the one layout.
+# --------------------------------------------------------------------------
+
+
+def _fold_c(carry, t, ok, base, code, plane_block, plane_slots, computed):
+    """Fold one chunk's t-matrix into the running best, extracting the
+    winner's geometry + material features.
+
+    ``plane_block`` is an (R, C) slice of the table; its winner values land
+    in ``plane_slots`` via ONE onehot @ block^T matmul on the MXU (replacing
+    R separate VPU reductions). ``computed`` maps slot -> per-pair (T, C)
+    arrays (triangle barycentrics) reduced on the VPU. Pure: carry is
+    (best_t, best_ty, best_ix, best_data-(T,N_SLOTS))."""
+    best_t, best_ty, best_ix, best_data = carry
+    tt = jnp.where(ok, t, BIG)
+    m = jnp.min(tt, axis=1, keepdims=True)                  # (T,1)
+    col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1).astype(jnp.float32)
+    midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
+    better = m < best_t
+    onehot = (col == midx).astype(jnp.float32)              # (T,C)
+    # precision=HIGHEST: on TPU, f32 matmuls default to bf16 passes, which
+    # would round the extracted winner geometry (e.g. 555 -> 556) and skew
+    # normals/UVs — same guard as every geometry matmul in ops/intersect.py.
+    vals = jax.lax.dot_general(                             # (T,R) MXU
+        onehot, plane_block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    cols = [None] * N_SLOTS
+    for r, slot in enumerate(plane_slots):
+        cols[slot] = vals[:, r:r + 1]
+    for slot, arr in computed:
+        cols[slot] = jnp.sum(onehot * arr, axis=1, keepdims=True)
+    assembled = jnp.concatenate(
+        [c if c is not None else jnp.zeros_like(m) for c in cols], axis=1)
+    best_data = jnp.where(better, assembled, best_data)
+    best_t = jnp.where(better, m, best_t)
+    best_ty = jnp.where(better, float(code), best_ty)
+    best_ix = jnp.where(better, midx + base, best_ix)
+    return best_t, best_ty, best_ix, best_data
+
+
+def ray_vals_c(o_ref, d_ref, tmin_ref, tmax_ref, time_ref=None) -> RayVals:
+    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
+    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    a = dx * dx + dy * dy + dz * dz                             # (T,1)
+    big_inv = 1e30
+    return RayVals(
+        ox, oy, oz, dx, dy, dz, tmin_ref[:], tmax_ref[:],
+        a, 1.0 / a,
+        ox * dx + oy * dy + oz * dz,
+        ox * ox + oy * oy + oz * oz,
+        jnp.where(jnp.abs(dx) > 1e-30, 1.0 / dx, big_inv),
+        jnp.where(jnp.abs(dy) > 1e-30, 1.0 / dy, big_inv),
+        jnp.where(jnp.abs(dz) > 1e-30, 1.0 / dz, big_inv),
+        time_ref[:] if time_ref is not None else None)
+
+
+def init_carry_c(rv: RayVals):
+    best_t = jnp.minimum(rv.tmax, BIG)
+    return (best_t, jnp.full_like(best_t, -1.0),
+            jnp.full_like(best_t, -1.0),
+            jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
+
+
+def _tile_slab_any_c(rv: RayVals, box_ref, jc, best_t):
+    """Whole-ray-tile slab test vs one table AABB column: True if ANY lane's
+    [tmin, min(best_t, tmax)] segment can touch box jc. Delegates to the
+    explicit-operand form (one copy of the enter/leave math)."""
+    return _tile_slab_any_vals_c(rv, box_ref[0, jc], box_ref[1, jc],
+                               box_ref[2, jc], box_ref[3, jc],
+                               box_ref[4, jc], box_ref[5, jc], best_t)
+
+
+def _sphere_chunk_fold_c(c, rv: RayVals, blk, base):
+    """One sphere chunk's quadratic tests + fold. ``blk`` is the loaded
+    (rows, C) table slice; ``base`` the chunk's first column (python float
+    for the static walk, traced f32 scalar for the ordered walk).
+
+    NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at HIGHEST)
+    was measured SLOWER (65 vs 42-47 ms per 960k cast) — the K=3 matmul +
+    operand relayouts cost more than the 10 VPU broadcast passes they
+    replace. Kept on the VPU."""
+    cx = blk[0:1, :]                                            # (1,C)
+    cy = blk[1:2, :]
+    cz = blk[2:3, :]
+    rsq = blk[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, :]
+    # motion blur: c(t) = c + v * t_ray (centers become (T,C)); the
+    # velocity rows exist only in motion-scene tables (static shape test)
+    has_vel = rv.time is not None and blk.shape[0] > SPH_VEL_ROW
+    if has_vel:
+        cx = cx + blk[SPH_VEL_ROW:SPH_VEL_ROW + 1, :] * rv.time
+        cy = cy + blk[SPH_VEL_ROW + 1:SPH_VEL_ROW + 2, :] * rv.time
+        cz = cz + blk[SPH_VEL_ROW + 2:SPH_VEL_ROW + 3, :] * rv.time
+    # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
+    # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
+    # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
+    # field, disc = -2.6e-4); the extra 3 subs are ~10% of the body
+    ocx = rv.ox - cx
+    ocy = rv.oy - cy
+    ocz = rv.oz - cz
+    half_b = rv.dx * ocx + rv.dy * ocy + rv.dz * ocz
+    c_term = ocx * ocx + ocy * ocy + ocz * ocz - rsq
+    disc = half_b * half_b - rv.a * c_term
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-half_b - sq) * rv.inv_a
+    r2 = (-half_b + sq) * rv.inv_a
+    ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
+    ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
+    t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
+    # motion tables extract the winner's velocity into slots 4..6 (rows
+    # 18..20 follow the 18 static rows in plane order)
+    slots = SPHERE_SLOTS + (SPH_VEL_SLOTS if has_vel else [])
+    return _fold_c(c, t, (disc >= 0.0), base, PRIM_SPHERE,
+                 blk, slots, [])
+
+
+def sphere_stage_c(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
+                 chunk: int = None, scull_ref=None):
+    """Dense chunk-culled sphere tests (sphere.rs:24-55 math).
+
+    Two-level cull for big tables: chunks are Morton-compact and ordered
+    near-to-far from the camera (pack side), grouped into SUPER-chunk
+    AABBs (``scull_ref``); a ray tile slab-tests the superchunk first and
+    skips its 8 chunks wholesale. With each lane's running best_t bounding
+    ``leave``, the near-to-far order makes the scan effectively early-exit
+    after the first hits land (the dense kernel's answer to bvh.rs:60-101
+    for 64k+ primitive scenes)."""
+    if chunk is None:
+        chunk = eff_chunk(n_sph, SPH_CHUNK)
+    n_ch = -(-n_sph // chunk)
+
+    def run_chunk(c, j):
+        any_hit = _tile_slab_any_c(rv, cull_ref, j // chunk, c[0])
+
+        def chunk_body(c, j=j):
+            return _sphere_chunk_fold_c(c, rv, sph_ref[:, j:j + chunk],
+                                      float(j))
+
+        return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
+
+    # two-level culling needs a whole number of SUPER groups; tables the
+    # packer left un-grouped (plain Morton layout) flat-scan their chunks
+    if scull_ref is None or n_ch <= SUPER or n_ch % SUPER != 0:
+        for j in range(0, n_sph, chunk):
+            carry = run_chunk(carry, j)
+        return carry
+
+    # two-level: superchunk slab test gates its SUPER member chunks
+    for s_i in range(n_ch // SUPER):
+        any_super = _tile_slab_any_c(rv, scull_ref, s_i, carry[0])
+
+        def super_body(c, s_i=s_i):
+            for m in range(SUPER):
+                c = run_chunk(c, (s_i * SUPER + m) * chunk)
+            return c
+
+        carry = jax.lax.cond(any_super, super_body, lambda c: c, carry)
+    return carry
+
+
+def _tile_slab_any_vals_c(rv: RayVals, lox, loy, loz, hix, hiy, hiz, best_t):
+    """_tile_slab_any_c against explicit AABB scalars (ordered walk reads
+    them from SMEM; the static walk reads VMEM rows at static indices)."""
+    t0x = (lox - rv.ox) * rv.inv_dx
+    t1x = (hix - rv.ox) * rv.inv_dx
+    t0y = (loy - rv.oy) * rv.inv_dy
+    t1y = (hiy - rv.oy) * rv.inv_dy
+    t0z = (loz - rv.oz) * rv.inv_dz
+    t1z = (hiz - rv.oz) * rv.inv_dz
+    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), rv.tmin))
+    leave = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z),
+                                    jnp.minimum(best_t, rv.tmax)))
+    return jnp.any(enter <= leave)
+
+
+def rect_stage_c(carry, rv: RayVals, rect_ref, n_rect: int):
+    """Axis-rect plane tests (rectangle.rs semantics)."""
+    chunk = eff_chunk(n_rect, CHUNK)
+    for j in range(0, n_rect, chunk):
+        planes = [rect_ref[r:r + 1, j:j + chunk] for r in range(14 + N_FEAT)]
+        (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes[:14]
+        d_n = rv.dx * nx + rv.dy * ny + rv.dz * nz
+        o_n = rv.ox * nx + rv.oy * ny + rv.oz * nz
+        safe = jnp.abs(d_n) > 1e-12
+        t = (k - o_n) / jnp.where(safe, d_n, 1.0)
+        pa = ((rv.ox * ax_ + rv.oy * ay + rv.oz * az)
+              + t * (rv.dx * ax_ + rv.dy * ay + rv.dz * az))
+        pb = ((rv.ox * bx + rv.oy * by + rv.oz * bz)
+              + t * (rv.dx * bx + rv.dy * by + rv.dz * bz))
+        ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
+              & (t >= rv.tmin) & (t <= rv.tmax))
+        carry = _fold_c(carry, t, ok, float(j), PRIM_RECT,
+                      rect_ref[:, j:j + chunk],
+                      list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
+    return carry
+
+
+def _tri_oxd_c(rv: RayVals):
+    """o x d cross-product columns shared by every tri chunk body."""
+    return (rv.oy * rv.dz - rv.oz * rv.dy,
+            rv.oz * rv.dx - rv.ox * rv.dz,
+            rv.ox * rv.dy - rv.oy * rv.dx)
+
+
+def _tri_chunk_fold_c(c, rv: RayVals, oxd, blk, base):
+    """One tri chunk's scalar-triple-product Möller–Trumbore tests + fold
+    (mesh.rs:57-98 semantics). ``blk`` is the loaded (rows, C) table slice;
+    ``base`` the chunk's first column (python float for the static walk,
+    traced f32 scalar for the ordered walk)."""
+    oxd_x, oxd_y, oxd_z = oxd
+    ox, oy, oz, dx, dy, dz = rv.ox, rv.oy, rv.oz, rv.dx, rv.dy, rv.dz
+    pr = [blk[r:r + 1, :] for r in range(16)]
+    (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
+     w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr
+    div = -(dx * ngx + dy * ngy + dz * ngz)
+    safe = div != 0.0
+    inv = 1.0 / jnp.where(safe, div, 1.0)
+    b1 = ((oxd_x * e2x + oxd_y * e2y + oxd_z * e2z)
+          - (dx * w2x + dy * w2y + dz * w2z)) * inv
+    b2 = (-(oxd_x * e1x + oxd_y * e1y + oxd_z * e1z)
+          + (dx * w1x + dy * w1y + dz * w1z)) * inv
+    t = ((ox * ngx + oy * ngy + oz * ngz) - v0n) * inv
+    ok = (safe & (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0)
+          & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
+    # winner slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz | feats | orig];
+    # the barycentrics are per-pair computed -> VPU reductions
+    return _fold_c(c, t, ok, base, PRIM_TRIANGLE, blk[16:, :],
+                 list(range(2, 11))
+                 + list(range(N_GEO_SLOTS, N_SLOTS)) + [14],
+                 [(0, b1), (1, b2)])
+
+
+def tri_stage_c(carry, rv: RayVals, tri_ref, tcull_ref, n_tri: int):
+    """Chunk-culled Möller–Trumbore (mesh.rs:57-98 semantics). Triangles
+    are Morton-ordered with per-chunk AABBs (tcull_ref), so mesh chunks a
+    ray's slab misses are cond-skipped like the sphere chunks."""
+    oxd = _tri_oxd_c(rv)
+    chunk = eff_chunk(n_tri, CHUNK)
+    for j in range(0, n_tri, chunk):
+        any_hit = _tile_slab_any_c(rv, tcull_ref, j // chunk, carry[0])
+
+        def chunk_body(c, j=j):
+            return _tri_chunk_fold_c(c, rv, oxd, tri_ref[:, j:j + chunk],
+                                   float(j))
+
+        carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
+    return carry
+
+
+def finish_carry_c(carry, t_out, ty_out, ix_out, data_out):
+    """Write the folded winner to the output refs (shared epilogue)."""
+    best_t, best_ty, best_ix, best_data = carry
+    miss = best_ty < 0.0
+    # spheres and triangles are Morton-reordered; slot 14 carries the
+    # original index for both
+    best_ix = jnp.where((best_ty == float(PRIM_SPHERE))
+                        | (best_ty == float(PRIM_TRIANGLE)),
+                        best_data[:, 14:15], best_ix)
+    t_out[:] = jnp.where(miss, BIG, best_t)  # mapped to +inf by the wrapper
+    ty_out[:] = best_ty.astype(jnp.int32)
+    ix_out[:] = best_ix.astype(jnp.int32)
+    data_out[:] = best_data
+
 
 
 # ----------------------------------------------------------- host-side build
@@ -198,7 +478,7 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
                  t_out, ty_out, ix_out, data_out,
                  *, n_big: int, n_rect: int, n_tri: int,
                  n_leaf: int, leaf: int, k_slots: int):
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref)
+    rv = ray_vals_c(o_ref, d_ref, tmin_ref, tmax_ref)
     # whole-tile skip for fully-retired tiles: a value-returning cond keeps
     # the output writes unconditional (conditional ref stores stall the
     # Mosaic output pipeline)
@@ -207,13 +487,13 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     def dense(carry):
         # dense stages first: their hits (e.g. the ground sphere) bound t
         # and cull leaves in the walk below
-        carry = sphere_stage(carry, rv, big_ref, bigcull_ref, n_big,
-                             chunk=BIG_CHUNK)
-        carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
+        carry = sphere_stage_c(carry, rv, big_ref, bigcull_ref, n_big,
+                               chunk=BIG_CHUNK)
+        carry = rect_stage_c(carry, rv, rect_ref, n_rect)
+        carry = tri_stage_c(carry, rv, tri_ref, tcull_ref, n_tri)
         return carry
 
-    carry = jax.lax.cond(any_alive, dense, lambda c: c, init_carry(rv))
+    carry = jax.lax.cond(any_alive, dense, lambda c: c, init_carry_c(rv))
     best_t, best_ty, best_ix, best_data = carry
 
     n = best_t.shape[0]
@@ -379,8 +659,8 @@ def _leaf_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
     best_ty = jnp.where(leaf_won, float(PRIM_SPHERE), best_ty)
     best_ix = jnp.where(leaf_won, lcol - 1.0, best_ix)
     best_t = jnp.where(leaf_won, lt, best_t)
-    finish_carry((best_t, best_ty, best_ix, best_data),
-                 t_out, ty_out, ix_out, data_out)
+    finish_carry_c((best_t, best_ty, best_ix, best_data),
+                   t_out, ty_out, ix_out, data_out)
 
 
 @functools.partial(jax.jit, static_argnames=("n_big", "n_rect", "n_tri",
@@ -430,14 +710,18 @@ def _call_leaf_kernel(o, d, tmin, tmax, alive, big, bigcull, rect, tri,
     )(o, d, tmin, tmax, alive, big, bigcull, rect, tri, tcull, aabb, kron,
       table)
     t = t[:n, 0]
-    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n])
+    # boundary: winner data leaves in the round-4 (N_SLOTS, N) row layout
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n].T)
 
 
 def _run(scene: Scene, o, d, t_min, t_max, alive=None):
     lt = scene.leaf
     if lt is None:
         raise ValueError("scene has no leaf tables; call with_leaf_tables")
-    rect, tri, tcull, _ = pack_rect_tri(scene)  # rect/tri planes (trace-time)
+    # pack_rect_tri emits the round-4 (prims, rows) layout; the frozen
+    # column kernel wants (rows, prims) — transpose back (trace-time, tiny)
+    rect, tri, tcull, _ = pack_rect_tri(scene)
+    rect, tri = rect.T, tri.T
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax = jnp.broadcast_to(

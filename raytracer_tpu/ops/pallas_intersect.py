@@ -11,9 +11,19 @@ intersection + reduction on-chip, AND extracts the winning primitive's
 parameters with in-VMEM masked lane reductions — so the hit-attribute pass
 downstream needs NO gathers at all.
 
-Layout: tables are packed row-major "component planes" so every per-pair
-term is a broadcast of a (TILE,1) ray column against a (1,C) table row —
-pure VPU work; no (TILE,C,3) tensors anywhere.
+Layout (round 4, RAYS ON THE LANE AXIS): tables are packed as
+(prims, components) so a chunk's component is a (C,1) COLUMN (prims on
+sublanes) broadcast against a (1,TILE) ray ROW (rays on lanes) into a
+(C,TILE) pair matrix — pure VPU work; no (TILE,C,3) tensors anywhere.
+Round 3 used the transpose ((TILE,1) ray columns vs (1,C) table rows);
+per-ray scalar ops then ran at 1/128 VPU lane utilization (TILE/8 = 32
+vregs per op), and the step profile (experiments/step_profile.py,
+ROUND_NOTES round 4) showed ~9 ms/step of such fixed cost at 960k lanes —
+more than the actual ray/primitive pair math at headline scale. With rays
+on lanes a per-ray op is TILE/128 = 2 vregs (16x), pair-matrix cost is
+unchanged, winner extraction stays one MXU matmul, and winner data
+returns as (N_SLOTS, N) component rows (also the XLA-friendly layout for
+the SoA shading stage downstream).
 
 Every table carries 12 trailing MATERIAL FEATURE rows (mat kind, fuzz, ir,
 tex kind, color0, color1, image_id, mat_id — material+texture data
@@ -28,7 +38,7 @@ materials in scene_500 they dominated the bounce).
 - tris    (25+12, T): n_geo, e1, e2, e2xv0, e1xv0, v0.n, n0, n1, n2 | feats
                                                         (pad: zeros -> div=0)
 
-Winner-data slots (TILE, 32), decoded in :func:`attrs_from_winner_data`:
+Winner-data slots (32, TILE), decoded in :func:`attrs_from_winner_data`:
 - slots 0..15 geometry by type:
   sphere [cx, cy, cz, csq];  rect [planes 0..13];
   tri [b1, b2, n0 xyz, n1 xyz, n2 xyz]
@@ -296,7 +306,9 @@ def _pack_spheres(scene: Scene, with_motion: bool = False):
         cull = jnp.concatenate([jnp.full((3, 1), 3e38),
                                 jnp.full((3, 1), -3e38)], 0)
         scull = cull
-    return sph, cull, scull
+    # kernel layout: (prims, components) — prims on sublanes so a chunk
+    # component is a natural (C,1) column against the (1,T) ray rows
+    return sph.T, cull, scull
 
 
 def pack_rect_tri(scene: Scene):
@@ -387,42 +399,43 @@ def pack_rect_tri(scene: Scene):
         tcull = jnp.concatenate([jnp.full((3, 1), 3e38),
                                  jnp.full((3, 1), -3e38)], 0)
         tscull = tcull
-    return rec, tri, tcull, tscull
+    # (prims, components) kernel layout — see _pack_spheres
+    return rec.T, tri.T, tcull, tscull
 
 
 # ----------------------------------------------------------------- kernel
 
 def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
-    """Fold one chunk's t-matrix into the running best, extracting the
-    winner's geometry + material features.
+    """Fold one chunk's (C,T) t-matrix into the running best, extracting
+    the winner's geometry + material features.
 
-    ``plane_block`` is an (R, C) slice of the table; its winner values land
-    in ``plane_slots`` via ONE onehot @ block^T matmul on the MXU (replacing
-    R separate VPU reductions). ``computed`` maps slot -> per-pair (T, C)
+    ``plane_block`` is a (C, R) slice of the table; its winner values land
+    in ``plane_slots`` via ONE block^T @ onehot matmul on the MXU (replacing
+    R separate VPU reductions). ``computed`` maps slot -> per-pair (C, T)
     arrays (triangle barycentrics) reduced on the VPU. Pure: carry is
-    (best_t, best_ty, best_ix, best_data-(T,N_SLOTS))."""
+    (best_t (1,T), best_ty, best_ix, best_data (N_SLOTS,T))."""
     best_t, best_ty, best_ix, best_data = carry
     tt = jnp.where(ok, t, BIG)
-    m = jnp.min(tt, axis=1, keepdims=True)                  # (T,1)
-    col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1).astype(jnp.float32)
-    midx = jnp.min(jnp.where(tt <= m, col, BIG), axis=1, keepdims=True)
+    m = jnp.min(tt, axis=0, keepdims=True)                  # (1,T)
+    row = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0).astype(jnp.float32)
+    midx = jnp.min(jnp.where(tt <= m, row, BIG), axis=0, keepdims=True)
     better = m < best_t
-    onehot = (col == midx).astype(jnp.float32)              # (T,C)
+    onehot = (row == midx).astype(jnp.float32)              # (C,T)
     # precision=HIGHEST: on TPU, f32 matmuls default to bf16 passes, which
     # would round the extracted winner geometry (e.g. 555 -> 556) and skew
     # normals/UVs — same guard as every geometry matmul in ops/intersect.py.
-    vals = jax.lax.dot_general(                             # (T,R) MXU
-        onehot, plane_block,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+    vals = jax.lax.dot_general(                             # (R,T) MXU
+        plane_block, onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    cols = [None] * N_SLOTS
+    rows = [None] * N_SLOTS
     for r, slot in enumerate(plane_slots):
-        cols[slot] = vals[:, r:r + 1]
+        rows[slot] = vals[r:r + 1, :]
     for slot, arr in computed:
-        cols[slot] = jnp.sum(onehot * arr, axis=1, keepdims=True)
+        rows[slot] = jnp.sum(onehot * arr, axis=0, keepdims=True)
     assembled = jnp.concatenate(
-        [c if c is not None else jnp.zeros_like(m) for c in cols], axis=1)
+        [c if c is not None else jnp.zeros_like(m) for c in rows], axis=0)
     best_data = jnp.where(better, assembled, best_data)
     best_t = jnp.where(better, m, best_t)
     best_ty = jnp.where(better, float(code), best_ty)
@@ -431,7 +444,7 @@ def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
 
 
 class RayVals(NamedTuple):
-    """Per-ray (TILE, 1) columns shared by all kernel stages."""
+    """Per-ray (1, TILE) rows shared by all kernel stages."""
     ox: jnp.ndarray
     oy: jnp.ndarray
     oz: jnp.ndarray
@@ -447,13 +460,15 @@ class RayVals(NamedTuple):
     inv_dx: jnp.ndarray
     inv_dy: jnp.ndarray
     inv_dz: jnp.ndarray
-    time: jnp.ndarray = None  # (T,1) shutter time or None (no motion)
+    time: jnp.ndarray = None  # (1,T) shutter time or None (no motion)
 
 
 def ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref=None) -> RayVals:
-    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (T,1)
-    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
-    a = dx * dx + dy * dy + dz * dz                             # (T,1)
+    """Rays arrive TRANSPOSED: o_ref/d_ref are (3, TILE), the scalar refs
+    (1, TILE) — each component is a natural lane row."""
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1,T)
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    a = dx * dx + dy * dy + dz * dz                             # (1,T)
     big_inv = 1e30
     return RayVals(
         ox, oy, oz, dx, dy, dz, tmin_ref[:], tmax_ref[:],
@@ -470,7 +485,7 @@ def init_carry(rv: RayVals):
     best_t = jnp.minimum(rv.tmax, BIG)
     return (best_t, jnp.full_like(best_t, -1.0),
             jnp.full_like(best_t, -1.0),
-            jnp.zeros((best_t.shape[0], N_SLOTS), jnp.float32))
+            jnp.zeros((N_SLOTS, best_t.shape[1]), jnp.float32))
 
 
 # slot layout for a sphere winner: geometry, features, original index, r^2
@@ -489,24 +504,24 @@ def _tile_slab_any(rv: RayVals, box_ref, jc, best_t):
 
 def _sphere_chunk_fold(c, rv: RayVals, blk, base):
     """One sphere chunk's quadratic tests + fold. ``blk`` is the loaded
-    (rows, C) table slice; ``base`` the chunk's first column (python float
+    (C, rows) table slice; ``base`` the chunk's first column (python float
     for the static walk, traced f32 scalar for the ordered walk).
 
-    NOTE: moving these dot products onto the MXU ((T,3)@(3,C) at HIGHEST)
-    was measured SLOWER (65 vs 42-47 ms per 960k cast) — the K=3 matmul +
+    NOTE (round-3 layout): moving these dot products onto the MXU was
+    measured SLOWER (65 vs 42-47 ms per 960k cast) — the K=3 matmul +
     operand relayouts cost more than the 10 VPU broadcast passes they
     replace. Kept on the VPU."""
-    cx = blk[0:1, :]                                            # (1,C)
-    cy = blk[1:2, :]
-    cz = blk[2:3, :]
-    rsq = blk[SPH_RSQ_ROW:SPH_RSQ_ROW + 1, :]
-    # motion blur: c(t) = c + v * t_ray (centers become (T,C)); the
-    # velocity rows exist only in motion-scene tables (static shape test)
-    has_vel = rv.time is not None and blk.shape[0] > SPH_VEL_ROW
+    cx = blk[:, 0:1]                                            # (C,1)
+    cy = blk[:, 1:2]
+    cz = blk[:, 2:3]
+    rsq = blk[:, SPH_RSQ_ROW:SPH_RSQ_ROW + 1]
+    # motion blur: c(t) = c + v * t_ray (centers become (C,T)); the
+    # velocity columns exist only in motion-scene tables (static shape test)
+    has_vel = rv.time is not None and blk.shape[1] > SPH_VEL_ROW
     if has_vel:
-        cx = cx + blk[SPH_VEL_ROW:SPH_VEL_ROW + 1, :] * rv.time
-        cy = cy + blk[SPH_VEL_ROW + 1:SPH_VEL_ROW + 2, :] * rv.time
-        cz = cz + blk[SPH_VEL_ROW + 2:SPH_VEL_ROW + 3, :] * rv.time
+        cx = cx + blk[:, SPH_VEL_ROW:SPH_VEL_ROW + 1] * rv.time
+        cy = cy + blk[:, SPH_VEL_ROW + 1:SPH_VEL_ROW + 2] * rv.time
+        cz = cz + blk[:, SPH_VEL_ROW + 2:SPH_VEL_ROW + 3] * rv.time
     # direct oc = o - c quadratic (sphere.rs:24-31 / intersect.py):
     # the expanded |o|^2 - 2 o.c + csq form cancels catastrophically
     # at |o| ~ 1e3 (flipped a grazing hit to a miss on the 64k
@@ -549,7 +564,7 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
         any_hit = _tile_slab_any(rv, cull_ref, j // chunk, c[0])
 
         def chunk_body(c, j=j):
-            return _sphere_chunk_fold(c, rv, sph_ref[:, j:j + chunk],
+            return _sphere_chunk_fold(c, rv, sph_ref[j:j + chunk, :],
                                       float(j))
 
         return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
@@ -574,27 +589,27 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
     return carry
 
 
-def _tile_chunk_order(o, alive, scull):
+def _tile_chunk_order(o_t, alive, scull):
     """Per-ray-tile near-to-far SUPERCHUNK walk order, byte-packed for
-    scalar prefetch (4 ids per i32 word).
+    scalar prefetch (4 ids per i32 word). ``o_t`` is the TRANSPOSED (3, N)
+    origin array (the same operand the kernel receives).
 
     The gap math (tile alive-origin AABB vs superchunk AABB) mirrors
     ``stage_ordered`` exactly: min/max/sub are rounding-free given
     identical operands and the squared sum uses the same term order, so
     the kernel's recomputed gap agrees with this ordering bit-for-bit.
     Returns (words (G*W,) i32, W)."""
-    g = o.shape[0] // TILE
+    g = o_t.shape[1] // TILE
     k = scull.shape[1]
-    to = o.reshape(g, TILE, 3)
-    am = (alive.reshape(g, TILE) > 0.5)[..., None]
-    tlo = jnp.min(jnp.where(am, to, BIG), 1)                  # (G,3)
-    thi = jnp.max(jnp.where(am, to, -BIG), 1)
-    clo = scull[0:3].T[None]                                  # (1,K,3)
-    chi = scull[3:6].T[None]
-    gap = jnp.maximum(jnp.maximum(clo - thi[:, None], tlo[:, None] - chi),
-                      0.0)
-    g2 = (gap[..., 0] * gap[..., 0] + gap[..., 1] * gap[..., 1]
-          + gap[..., 2] * gap[..., 2])                        # (G,K)
+    to = o_t.reshape(3, g, TILE)
+    am = (alive.reshape(g, TILE) > 0.5)[None]                 # (1,G,T)
+    tlo = jnp.min(jnp.where(am, to, BIG), 2)                  # (3,G)
+    thi = jnp.max(jnp.where(am, to, -BIG), 2)
+    clo = scull[0:3][:, None]                                 # (3,1,K)
+    chi = scull[3:6][:, None]
+    gap = jnp.maximum(jnp.maximum(clo - thi[:, :, None],
+                                  tlo[:, :, None] - chi), 0.0)   # (3,G,K)
+    g2 = gap[0] * gap[0] + gap[1] * gap[1] + gap[2] * gap[2]  # (G,K)
     order = jnp.argsort(g2, axis=1).astype(jnp.int32)
     w = -(-k // 4)
     order = jnp.pad(order, [(0, 0), (0, w * 4 - k)])
@@ -614,13 +629,15 @@ def stage_ordered(carry, rv: RayVals, alive, chunk_fold, order_ref,
     traced i32) of the stage's own VMEM table; sphere fields and big
     triangle meshes share the walk.
 
-    Granularity matters: all per-walk-step math runs on (T,1) column
-    vectors (1/128 VPU lane utilization) plus cross-sublane reductions, so
-    a per-CHUNK walk spent more on loop overhead than it saved in bodies
-    (measured: 72-chunk walk ~2.5 us/tile/step — as much time skipping as
-    scanning). The walk therefore visits SUPER-chunk groups (8 Morton-
-    consecutive chunks): k/8 dynamic steps, each gating a static 8-member
-    inner loop identical to the static path's ``super_body``.
+    Granularity matters: all per-walk-step math runs on per-ray vectors
+    plus cross-vector reductions and SMEM scalar reads, so a per-CHUNK
+    walk spent more on loop overhead than it saved in bodies (measured in
+    the round-3 column layout: 72-chunk walk ~2.5 us/tile/step — as much
+    time skipping as scanning; the round-4 row layout cuts the vector ops
+    16x but the SMEM reads and while_loop step cost remain). The walk
+    therefore visits SUPER-chunk groups (8 Morton-consecutive chunks):
+    k/8 dynamic steps, each gating a static 8-member inner loop identical
+    to the static path's ``super_body``.
 
     Supers are visited in THIS TILE's near-to-far order (``order_ref``,
     byte-packed ids in SMEM; built per bounce by :func:`_tile_chunk_order`
@@ -777,8 +794,9 @@ def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
     """Axis-rect plane tests (rectangle.rs semantics)."""
     chunk = eff_chunk(n_rect, CHUNK)
     for j in range(0, n_rect, chunk):
-        planes = [rect_ref[r:r + 1, j:j + chunk] for r in range(14 + N_FEAT)]
-        (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes[:14]
+        blk = rect_ref[j:j + chunk, :]                          # (C, rows)
+        planes = [blk[:, r:r + 1] for r in range(14)]           # (C,1) each
+        (nx, ny, nz, ax_, ay, az, bx, by, bz, k, a0, a1, b0, b1) = planes
         d_n = rv.dx * nx + rv.dy * ny + rv.dz * nz
         o_n = rv.ox * nx + rv.oy * ny + rv.oz * nz
         safe = jnp.abs(d_n) > 1e-12
@@ -789,8 +807,7 @@ def rect_stage(carry, rv: RayVals, rect_ref, n_rect: int):
               + t * (rv.dx * bx + rv.dy * by + rv.dz * bz))
         ok = (safe & (pa >= a0) & (pa <= a1) & (pb >= b0) & (pb <= b1)
               & (t >= rv.tmin) & (t <= rv.tmax))
-        carry = _fold(carry, t, ok, float(j), PRIM_RECT,
-                      rect_ref[:, j:j + chunk],
+        carry = _fold(carry, t, ok, float(j), PRIM_RECT, blk,
                       list(range(14)) + list(range(N_GEO_SLOTS, N_SLOTS)), [])
     return carry
 
@@ -804,12 +821,12 @@ def _tri_oxd(rv: RayVals):
 
 def _tri_chunk_fold(c, rv: RayVals, oxd, blk, base):
     """One tri chunk's scalar-triple-product Möller–Trumbore tests + fold
-    (mesh.rs:57-98 semantics). ``blk`` is the loaded (rows, C) table slice;
+    (mesh.rs:57-98 semantics). ``blk`` is the loaded (C, rows) table slice;
     ``base`` the chunk's first column (python float for the static walk,
     traced f32 scalar for the ordered walk)."""
     oxd_x, oxd_y, oxd_z = oxd
     ox, oy, oz, dx, dy, dz = rv.ox, rv.oy, rv.oz, rv.dx, rv.dy, rv.dz
-    pr = [blk[r:r + 1, :] for r in range(16)]
+    pr = [blk[:, r:r + 1] for r in range(16)]
     (ngx, ngy, ngz, e1x, e1y, e1z, e2x, e2y, e2z,
      w2x, w2y, w2z, w1x, w1y, w1z, v0n) = pr
     div = -(dx * ngx + dy * ngy + dz * ngz)
@@ -824,7 +841,7 @@ def _tri_chunk_fold(c, rv: RayVals, oxd, blk, base):
           & (b1 + b2 <= 1.0) & (t >= rv.tmin) & (t <= rv.tmax))
     # winner slots: [b1, b2, n0 xyz, n1 xyz, n2 xyz | feats | orig];
     # the barycentrics are per-pair computed -> VPU reductions
-    return _fold(c, t, ok, base, PRIM_TRIANGLE, blk[16:, :],
+    return _fold(c, t, ok, base, PRIM_TRIANGLE, blk[:, 16:],
                  list(range(2, 11))
                  + list(range(N_GEO_SLOTS, N_SLOTS)) + [14],
                  [(0, b1), (1, b2)])
@@ -840,7 +857,7 @@ def tri_stage(carry, rv: RayVals, tri_ref, tcull_ref, n_tri: int):
         any_hit = _tile_slab_any(rv, tcull_ref, j // chunk, carry[0])
 
         def chunk_body(c, j=j):
-            return _tri_chunk_fold(c, rv, oxd, tri_ref[:, j:j + chunk],
+            return _tri_chunk_fold(c, rv, oxd, tri_ref[j:j + chunk, :],
                                    float(j))
 
         carry = jax.lax.cond(any_hit, chunk_body, lambda c: c, carry)
@@ -855,56 +872,32 @@ def finish_carry(carry, t_out, ty_out, ix_out, data_out):
     # original index for both
     best_ix = jnp.where((best_ty == float(PRIM_SPHERE))
                         | (best_ty == float(PRIM_TRIANGLE)),
-                        best_data[:, 14:15], best_ix)
+                        best_data[14:15, :], best_ix)
     t_out[:] = jnp.where(miss, BIG, best_t)  # mapped to +inf by the wrapper
     ty_out[:] = best_ty.astype(jnp.int32)
     ix_out[:] = best_ix.astype(jnp.int32)
     data_out[:] = best_data
 
 
-def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
-                    *refs, n_sph: int, n_rect: int, n_tri: int,
-                    has_time: bool = False):
-    # motion-scene programs carry an extra per-ray time operand after alive
-    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
-    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
-     t_out, ty_out, ix_out, data_out) = refs
-    # whole-tile skip for fully-retired tiles: a value-returning cond keeps
-    # the output writes unconditional (conditional ref stores stall the
-    # Mosaic output pipeline)
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
-    any_alive = jnp.any(alive_ref[:] > 0.5)
+def _stage_sweep(rv: RayVals, alive, sph_ref, rect_ref, tri_ref, cull_ref,
+                 tcull_ref, scull_ref, *, n_sph: int, n_rect: int,
+                 n_tri: int, order_ref=None, cullf_ref=None, sph_cfg=None,
+                 tri_cfg=None):
+    """Run every primitive stage over one ray tile and return the folded
+    (carry, supers_walked, chunk_bodies) — the shared heart of the
+    closest-hit and fused-bounce kernels, static and ordered variants.
 
-    def live(carry):
-        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
-                             scull_ref=scull_ref)
-        carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
-        return carry
-
-    carry = jax.lax.cond(any_alive, live, lambda c: c, init_carry(rv))
-    finish_carry(carry, t_out, ty_out, ix_out, data_out)
-
-
-def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
-                            tmax_ref, alive_ref, *refs,
-                            n_sph: int, n_rect: int, n_tri: int,
-                            sph_cfg, tri_cfg, has_time: bool = False):
-    """Ordered-walk twin of _closest_kernel: each big stage (spheres and/or
-    triangles) runs the per-tile dynamic near-to-far superchunk walk
-    instead of the static scan; stages below the ordering threshold keep
-    the static path (their VMEM cull tables ride along regardless — they
-    are (6, k) slivers). ``sph_cfg``/``tri_cfg`` are static
-    (w_words, k_ch, chunk, word_base, cull_base) tuples or None.
-    With ORDER_STATS, two extra outputs carry the per-tile walk length and
-    chunk-body count summed over ordered stages (broadcast across lanes)."""
-    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
-    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
-     t_out, ty_out, ix_out, data_out, *stats_out) = refs
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
-    alive = alive_ref[:]
+    With ``sph_cfg``/``tri_cfg`` (static (w_words, k_ch, chunk, word_base,
+    cull_base) tuples), that stage runs the per-tile dynamic near-to-far
+    superchunk walk (``stage_ordered``) via the SMEM ``order_ref``/
+    ``cullf_ref`` prefetch tables; stages below the ordering threshold
+    keep the static scan (their VMEM cull tables ride along regardless —
+    they are (6, k) slivers). A whole-tile skip covers fully-retired
+    tiles: a value-returning cond keeps the callers' output writes
+    unconditional (conditional ref stores stall the Mosaic output
+    pipeline)."""
     any_alive = jnp.any(alive > 0.5)
-    tile = pl.program_id(0)
+    tile = pl.program_id(0) if (sph_cfg or tri_cfg) else 0
 
     def live(state):
         carry, walked, nbod = state
@@ -914,7 +907,7 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
             def sph_fold(c, idx, chunk=chunk):
                 j0 = pl.multiple_of(idx * chunk, chunk)
                 return _sphere_chunk_fold(
-                    c, rv, sph_ref[:, pl.ds(j0, chunk)],
+                    c, rv, sph_ref[pl.ds(j0, chunk), :],
                     (idx * chunk).astype(jnp.float32))
 
             carry, w, b = stage_ordered(
@@ -933,7 +926,7 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
             def tri_fold(c, idx, chunk=chunk):
                 j0 = pl.multiple_of(idx * chunk, chunk)
                 return _tri_chunk_fold(
-                    c, rv, oxd, tri_ref[:, pl.ds(j0, chunk)],
+                    c, rv, oxd, tri_ref[pl.ds(j0, chunk), :],
                     (idx * chunk).astype(jnp.float32))
 
             carry, w, b = stage_ordered(
@@ -946,12 +939,44 @@ def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
         return carry, walked, nbod
 
     z = jnp.int32(0)
-    carry, walked, nbod = jax.lax.cond(
-        any_alive, live, lambda s: s, (init_carry(rv), z, z))
+    return jax.lax.cond(any_alive, live, lambda s: s,
+                        (init_carry(rv), z, z))
+
+
+def _closest_kernel(o_ref, d_ref, tmin_ref, tmax_ref, alive_ref,
+                    *refs, n_sph: int, n_rect: int, n_tri: int,
+                    has_time: bool = False):
+    # motion-scene programs carry an extra per-ray time operand after alive
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     t_out, ty_out, ix_out, data_out) = refs
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
+    carry, _, _ = _stage_sweep(rv, alive_ref[:], sph_ref, rect_ref, tri_ref,
+                               cull_ref, tcull_ref, scull_ref, n_sph=n_sph,
+                               n_rect=n_rect, n_tri=n_tri)
+    finish_carry(carry, t_out, ty_out, ix_out, data_out)
+
+
+def _closest_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
+                            tmax_ref, alive_ref, *refs,
+                            n_sph: int, n_rect: int, n_tri: int,
+                            sph_cfg, tri_cfg, has_time: bool = False):
+    """Ordered-walk twin of _closest_kernel (see _stage_sweep).
+    With ORDER_STATS, two extra outputs carry the per-tile walk length and
+    chunk-body count summed over ordered stages (broadcast across lanes)."""
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     t_out, ty_out, ix_out, data_out, *stats_out) = refs
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmax_ref, time_ref)
+    carry, walked, nbod = _stage_sweep(
+        rv, alive_ref[:], sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
+        scull_ref, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
+        order_ref=order_ref, cullf_ref=cullf_ref, sph_cfg=sph_cfg,
+        tri_cfg=tri_cfg)
     finish_carry(carry, t_out, ty_out, ix_out, data_out)
     if stats_out:
-        stats_out[0][:] = jnp.full((t_out.shape[0], 1), walked, jnp.int32)
-        stats_out[1][:] = jnp.full((t_out.shape[0], 1), nbod, jnp.int32)
+        stats_out[0][:] = jnp.full(t_out.shape, walked, jnp.int32)
+        stats_out[1][:] = jnp.full(t_out.shape, nbod, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
@@ -971,124 +996,76 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
         if time is not None:
             time = jnp.pad(time, [(0, pad)])
     alive = alive.astype(jnp.float32)
+    # kernel layout: rays on the LANE axis — components as (3, N)/(1, N)
+    # rows (one XLA relayout per cast; ~30 us at 960k lanes vs the kernel's
+    # milliseconds, and the wavefront holds (N,) components anyway)
+    o_t = o.T
+    d_t = d.T
 
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
-    k_ch = cull.shape[1]
-    k_sup = k_ch // SUPER
     tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
-    tk_ch = tcull.shape[1]
-    tk_sup = tk_ch // SUPER
     n_tiles = n_pad // TILE
-    sph_ord = (n_sph > 0 and k_ch >= ORDER_MIN_CHUNKS
-               and k_ch % SUPER == 0 and k_sup <= ORDER_MAX_CHUNKS
-               and n_sph == k_ch * sph_chunk
-               and scull.shape[1] == k_sup)
-    tri_ord = (n_tri > 0 and tk_ch >= ORDER_MIN_CHUNKS
-               and tk_ch % SUPER == 0 and tk_sup <= ORDER_MAX_CHUNKS
-               and n_tri == tk_ch * tri_chunk
-               and tscull.shape[1] == tk_sup)
-    # SMEM budget: when both walks together overflow, keep whichever fits
-    # alone (spheres preferred — usually the bigger win); drop both only
-    # when neither fits
-    sph_words = -(-k_sup // 4) if sph_ord else 0
-    tri_words = -(-tk_sup // 4) if tri_ord else 0
-    if n_tiles * (sph_words + tri_words) * 4 > ORDER_SMEM_BUDGET:
-        if sph_ord and n_tiles * sph_words * 4 <= ORDER_SMEM_BUDGET:
-            tri_ord = False
-        elif tri_ord and n_tiles * tri_words * 4 <= ORDER_SMEM_BUDGET:
-            sph_ord = False
-        else:
-            sph_ord = tri_ord = False
+    sph_ord, tri_ord = _order_flags(
+        n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+        cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
     if sph_ord or tri_ord:
         return _call_kernel_ordered(
-            o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
+            o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
             tscull, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
             sph_ord=sph_ord, tri_ord=tri_ord, sph_chunk=sph_chunk,
             tri_chunk=tri_chunk, interpret=interpret, n=n, time=time)
-    tmin = tmin[:, None]
-    tmax = tmax[:, None]
-    alive = alive[:, None]
-    ray_ins = [o, d, tmin, tmax, alive]
+    ray_ins = [o_t, d_t, tmin[None], tmax[None], alive[None]]
     ray_widths = [3, 3, 1, 1, 1]
     if time is not None:
-        ray_ins.append(time[:, None])
+        ray_ins.append(time[None])
         ray_widths.append(1)
 
     grid = (n_pad // TILE,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
                                n_tri=n_tri, has_time=time is not None)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri
+    rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
     t, ty, ix, data = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM) for w in ray_widths
-        ] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, N_SLOTS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[rs(w) for w in ray_widths]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[rs(1), rs(1), rs(1), rs(N_SLOTS)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, N_SLOTS), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((N_SLOTS, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(1, n_sph)),
         interpret=interpret,
     )(*ray_ins, sph, rect, tri, cull, tcull, scull)
-    t = t[:n, 0]
-    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n],
-            None)
+    t = t[0, :n]
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[0, :n], ix[0, :n],
+            data[:, :n], None)
 
 
-def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
+def _call_kernel_ordered(o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull,
                          tcull, scull, tscull, *, n_sph, n_rect, n_tri,
                          sph_ord, tri_ord, sph_chunk, tri_chunk,
                          interpret, n, time=None):
-    """Ordered-walk pallas call (inputs pre-padded to a TILE multiple).
+    """Ordered-walk pallas call (inputs pre-padded to a TILE multiple;
+    ``o_t``/``d_t`` already transposed to (3, N)).
     Each ordered stage's per-tile superchunk order + flattened chunk+super
     cull tables ride scalar prefetch into SMEM (concatenated, with static
     word/cull base offsets in the stage configs); stage work is bounded by
     chunks a tile can actually reach instead of the whole table."""
-    n_pad = o.shape[0]
-    words_parts, cull_parts = [], []
-    sph_cfg = tri_cfg = None
-    word_base = cull_base = 0
-    if sph_ord:
-        k_ch = cull.shape[1]
-        words, w_words = _tile_chunk_order(o, alive, scull)
-        sph_cfg = (w_words, k_ch, sph_chunk, 0, 0)
-        words_parts.append(words)
-        cull_parts += [cull.reshape(-1), scull.reshape(-1)]
-        word_base = words.shape[0]
-        cull_base = 6 * (k_ch + scull.shape[1])
-    if tri_ord:
-        tk_ch = tcull.shape[1]
-        twords, tw_words = _tile_chunk_order(o, alive, tscull)
-        tri_cfg = (tw_words, tk_ch, tri_chunk, word_base, cull_base)
-        words_parts.append(twords)
-        cull_parts += [tcull.reshape(-1), tscull.reshape(-1)]
-    tmin = tmin[:, None]
-    tmax = tmax[:, None]
-    alive = alive[:, None]
-    ray_ins = [o, d, tmin, tmax, alive]
+    n_pad = o_t.shape[1]
+    words, cullf, sph_cfg, tri_cfg = _build_order_operands(
+        o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
+        tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+    ray_ins = [o_t, d_t, tmin[None], tmax[None], alive[None]]
     ray_widths = [3, 3, 1, 1, 1]
     if time is not None:
-        ray_ins.append(time[:, None])
+        ray_ins.append(time[None])
         ray_widths.append(1)
 
     grid = (n_pad // TILE,)
@@ -1101,7 +1078,7 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
     flops_per_ray = ((40 * n_sph // 8 if sph_ord else 40 * n_sph)
                      + 60 * n_rect
                      + (80 * n_tri // 8 if tri_ord else 80 * n_tri))
-    rs = lambda w: pl.BlockSpec((TILE, w), lambda i, *_: (i, 0),
+    rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)
     n_stats = 2 if ORDER_STATS else 0
     out = pl.pallas_call(
@@ -1114,30 +1091,36 @@ def _call_kernel_ordered(o, d, tmin, tmax, alive, sph, rect, tri, cull,
             out_specs=[rs(1), rs(1), rs(1), rs(N_SLOTS)]
             + [rs(1)] * n_stats),
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, N_SLOTS), jnp.float32),
-        ] + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)] * n_stats,
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((N_SLOTS, n_pad), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((1, n_pad), jnp.int32)] * n_stats,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 100,
             transcendentals=n_pad * max(sph_chunk, tri_chunk)),
         interpret=interpret,
-    )(jnp.concatenate(words_parts), jnp.concatenate(cull_parts),
-      *ray_ins, sph, rect, tri, cull, tcull, scull)
+    )(words, cullf, *ray_ins, sph, rect, tri, cull, tcull, scull)
     t, ty, ix, data = out[:4]
-    stats = (tuple(s[::TILE, 0] for s in out[4:]) if n_stats else None)
-    t = t[:n, 0]
-    return (jnp.where(t >= BIG, jnp.inf, t), ty[:n, 0], ix[:n, 0], data[:n],
-            stats)
+    stats = (tuple(s[0, ::TILE] for s in out[4:]) if n_stats else None)
+    t = t[0, :n]
+    return (jnp.where(t >= BIG, jnp.inf, t), ty[0, :n], ix[0, :n],
+            data[:, :n], stats)
 
 
 # Per-kernel-call table capacities within the ~16 MB VMEM budget
-# (alongside ray tiles): spheres cost 80 B/prim (20 f32 rows) -> 81920 =
-# 6.6 MB; triangles cost 152 B/prim (38 rows) -> 49152 = 7.5 MB. Larger
-# tables run as a chain of Morton-SLABBED kernel calls (_run_slabbed).
-SPH_SLAB = 81920
-TRI_SLAB = 49152
+# (alongside ray tiles). The round-4 (prims, components) table layout puts
+# components on the LANE axis, so every primitive pads to one full
+# 128-lane row: 512 B/prim regardless of type (vs 80-152 B/prim in the
+# round-3 component-plane layout) — the price of (C,1)-column chunk
+# slices that broadcast against (1,T) ray rows with zero relayouts.
+# 16384 spheres = 8 MB; 12288 tris = 6 MB. Larger tables run as a chain
+# of Morton-SLABBED kernel calls (_run_slabbed) whose running-best t_max
+# chaining culls far slabs; a lane-packed G-group layout (G prims per
+# 128-lane row) could recover the dense density if the extra slab calls
+# ever dominate (measured first — see ROUND_NOTES round 4).
+SPH_SLAB = 16384
+TRI_SLAB = 12288
 
 
 def _slab_id_rows(order, n: int, slab: int):
@@ -1162,7 +1145,7 @@ def _fold_slab(best, tmax_cur, t_i, ty_i, ix_i, data_i):
     best = (jnp.where(better, t_i, best[0]),
             jnp.where(better, ty_i, best[1]),
             jnp.where(better, ix_i, best[2]),
-            jnp.where(better[:, None], data_i, best[3]))
+            jnp.where(better[None, :], data_i, best[3]))
     tmax_cur = jnp.minimum(tmax_cur,
                            jnp.where(jnp.isfinite(best[0]), best[0], BIG))
     return best, tmax_cur
@@ -1172,8 +1155,8 @@ def _remap_winner_ids(ty_i, ix_i, data_i, prim, ids):
     """Slab-local winner ids (ix and data slot 14) -> global primitive id."""
     gix = ids[jnp.clip(ix_i, 0, ids.shape[0] - 1)]
     ix_i = jnp.where(ty_i == prim, gix, ix_i)
-    data_i = data_i.at[:, 14].set(
-        jnp.where(ty_i == prim, ix_i.astype(jnp.float32), data_i[:, 14]))
+    data_i = data_i.at[14].set(
+        jnp.where(ty_i == prim, ix_i.astype(jnp.float32), data_i[14]))
     return ix_i, data_i
 
 
@@ -1304,9 +1287,9 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None, time=None):
     # stages entirely (a dummy chunk costs as much as a real one)
     t, ty, ix, data, stats = _call_kernel(
         o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull, tscull,
-        n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
-        n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
-        n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
+        n_sph=sph.shape[0] if scene.spheres.radius.shape[0] else 0,
+        n_rect=rect.shape[0] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[0] if scene.triangles.mat_id.shape[0] else 0,
         interpret=interpret, time=time)
     if stats is not None:
         _last_order_stats = stats
@@ -1314,9 +1297,9 @@ def _run(scene: Scene, o, d, t_min, t_max, alive=None, time=None):
         # fold the winner's extracted velocity (slots 4..6) into its center
         # slots: every downstream attrs consumer then sees the EFFECTIVE
         # center c + v*t without knowing about motion at all
-        is_s = (ty == PRIM_SPHERE)[:, None]
-        data = data.at[:, 0:3].add(
-            jnp.where(is_s, data[:, 4:7] * time[:, None], 0.0))
+        is_s = (ty == PRIM_SPHERE)[None, :]
+        data = data.at[0:3].add(
+            jnp.where(is_s, data[4:7] * time[None, :], 0.0))
     return t, ty, ix, data
 
 
@@ -1331,8 +1314,9 @@ def intersect_pallas(scene: Scene, o, d, t_min, t_max, alive=None,
 
 def attrs_from_winner_data(o, d, hit: Hit, data):
     """HitRecord fields + material features from the kernel's extracted
-    winner parameters — zero table gathers (hit.rs:24-30 front-face logic;
-    per-type normal/uv). Returns (HitAttrs, MatFeatures)."""
+    winner parameters (``data``: (N_SLOTS, N) component ROWS) — zero table
+    gathers (hit.rs:24-30 front-face logic; per-type normal/uv).
+    Returns (HitAttrs, MatFeatures)."""
     from raytracer_tpu.ops.materials import MatFeatures
     valid = jnp.isfinite(hit.t)
     t = jnp.where(valid, hit.t, 0.0)
@@ -1341,27 +1325,28 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
 
     # sphere: slots [cx, cy, cz, csq = |c|^2 - r^2]; slot 15 = exact r^2 on
     # the dense path (0 from leaf winners -> csq-expansion fallback)
-    c = data[:, 0:3]
-    rsq_slot = data[:, SPH_RSQ_SLOT]
+    c = data[0:3].T
+    rsq_slot = data[SPH_RSQ_SLOT]
     r = jnp.sqrt(jnp.maximum(
         jnp.where(rsq_slot > 0.0, rsq_slot,
-                  jnp.sum(c * c, -1) - data[:, 3]), 1e-20))
+                  jnp.sum(c * c, -1) - data[3]), 1e-20))
     sph_n = (p - c) / r[:, None]
 
     # rect: slots [n(3), a_hot(3), b_hot(3), k, a0, a1, b0, b1]
-    rect_n = data[:, 0:3]
-    pa = jnp.sum(p * data[:, 3:6], -1)
-    pb = jnp.sum(p * data[:, 6:9], -1)
-    a0, a1 = data[:, 10], data[:, 11]
-    b0, b1 = data[:, 12], data[:, 13]
+    rect_n = data[0:3].T
+    pa = jnp.sum(p * data[3:6].T, -1)
+    pb = jnp.sum(p * data[6:9].T, -1)
+    a0, a1 = data[10], data[11]
+    b0, b1 = data[12], data[13]
     rect_uv = jnp.stack([(pa - a0) / jnp.where(a1 != a0, a1 - a0, 1.0),
                          (pb - b0) / jnp.where(b1 != b0, b1 - b0, 1.0)], -1)
 
     # triangle: slots [b1, b2, n0(3), n1(3), n2(3)]
-    b1 = data[:, 0:1]
-    b2 = data[:, 1:2]
-    b0_ = 1.0 - b1 - b2
-    tri_n = vec.unit(b0_ * data[:, 2:5] + b1 * data[:, 5:8] + b2 * data[:, 8:11])
+    tb1 = data[0][:, None]
+    tb2 = data[1][:, None]
+    tb0 = 1.0 - tb1 - tb2
+    tri_n = vec.unit(tb0 * data[2:5].T + tb1 * data[5:8].T
+                     + tb2 * data[8:11].T)
 
     is_s = (ty == PRIM_SPHERE)[:, None]
     is_r = (ty == PRIM_RECT)[:, None]
@@ -1369,14 +1354,14 @@ def attrs_from_winner_data(o, d, hit: Hit, data):
     uv = jnp.where(is_s, sphere_uv(sph_n),
                    jnp.where(is_r, rect_uv, jnp.zeros_like(rect_uv)))
     fb = N_GEO_SLOTS  # feature slot base
-    mat_id = jnp.round(data[:, fb + 11]).astype(jnp.int32)
+    mat_id = jnp.round(data[fb + 11]).astype(jnp.int32)
     mat_id = jnp.where(valid, mat_id, 0)
     feats = MatFeatures(
-        kind=jnp.round(data[:, fb + 0]).astype(jnp.int32),
-        fuzz=data[:, fb + 1], ir=jnp.maximum(data[:, fb + 2], 1e-6),
-        tex_kind=jnp.round(data[:, fb + 3]).astype(jnp.int32),
-        color0=data[:, fb + 4:fb + 7], color1=data[:, fb + 7:fb + 10],
-        image_id=jnp.round(data[:, fb + 10]).astype(jnp.int32),
+        kind=jnp.round(data[fb + 0]).astype(jnp.int32),
+        fuzz=data[fb + 1], ir=jnp.maximum(data[fb + 2], 1e-6),
+        tex_kind=jnp.round(data[fb + 3]).astype(jnp.int32),
+        color0=data[fb + 4:fb + 7].T, color1=data[fb + 7:fb + 10].T,
+        image_id=jnp.round(data[fb + 10]).astype(jnp.int32),
         tex_id=jnp.zeros_like(mat_id))
 
     front_face = vec.dot(d, n_out) < 0.0
@@ -1396,6 +1381,7 @@ def intersect_pallas_full(scene: Scene, o, d, t_min, t_max, alive=None,
     return hit, attrs, feats
 
 
+
 # ------------------------------------------------- fused bounce megakernel
 
 PI = 3.141592653589793
@@ -1403,18 +1389,83 @@ TWO_PI = 6.283185307179586
 FRAC_1_PI = 0.3183098861837907
 
 
+def _order_flags(*, n_sph, n_tri, sph_chunk, tri_chunk, cull, scull,
+                 tcull, tscull, n_tiles):
+    """Static qualification of each big stage for the per-tile ordered
+    walk (shared by the closest-hit and fused-bounce call wrappers). SMEM
+    budget: when both walks together overflow, keep whichever fits alone
+    (spheres preferred — usually the bigger win); drop both only when
+    neither fits."""
+    k_ch = cull.shape[1]
+    k_sup = k_ch // SUPER
+    tk_ch = tcull.shape[1]
+    tk_sup = tk_ch // SUPER
+    sph_ord = (n_sph > 0 and k_ch >= ORDER_MIN_CHUNKS
+               and k_ch % SUPER == 0 and k_sup <= ORDER_MAX_CHUNKS
+               and n_sph == k_ch * sph_chunk
+               and scull.shape[1] == k_sup)
+    tri_ord = (n_tri > 0 and tk_ch >= ORDER_MIN_CHUNKS
+               and tk_ch % SUPER == 0 and tk_sup <= ORDER_MAX_CHUNKS
+               and n_tri == tk_ch * tri_chunk
+               and tscull.shape[1] == tk_sup)
+    sph_words = -(-k_sup // 4) if sph_ord else 0
+    tri_words = -(-tk_sup // 4) if tri_ord else 0
+    if n_tiles * (sph_words + tri_words) * 4 > ORDER_SMEM_BUDGET:
+        if sph_ord and n_tiles * sph_words * 4 <= ORDER_SMEM_BUDGET:
+            tri_ord = False
+        elif tri_ord and n_tiles * tri_words * 4 <= ORDER_SMEM_BUDGET:
+            sph_ord = False
+        else:
+            sph_ord = tri_ord = False
+    return sph_ord, tri_ord
+
+
+def _build_order_operands(o_t, alive, cull, scull, tcull, tscull, *,
+                          sph_ord, tri_ord, sph_chunk, tri_chunk):
+    """Per-tile walk orders + flattened cull tables for the scalar-prefetch
+    operands (shared by both ordered call wrappers). Returns
+    (words (W,), cullf (F,), sph_cfg, tri_cfg)."""
+    words_parts, cull_parts = [], []
+    sph_cfg = tri_cfg = None
+    word_base = cull_base = 0
+    if sph_ord:
+        k_ch = cull.shape[1]
+        words, w_words = _tile_chunk_order(o_t, alive, scull)
+        sph_cfg = (w_words, k_ch, sph_chunk, 0, 0)
+        words_parts.append(words)
+        cull_parts += [cull.reshape(-1), scull.reshape(-1)]
+        word_base = words.shape[0]
+        cull_base = 6 * (k_ch + scull.shape[1])
+    if tri_ord:
+        tk_ch = tcull.shape[1]
+        twords, tw_words = _tile_chunk_order(o_t, alive, tscull)
+        tri_cfg = (tw_words, tk_ch, tri_chunk, word_base, cull_base)
+        words_parts.append(twords)
+        cull_parts += [tcull.reshape(-1), tscull.reshape(-1)]
+    return (jnp.concatenate(words_parts), jnp.concatenate(cull_parts),
+            sph_cfg, tri_cfg)
+
+
 def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
                      emit_ref, p_ref, n_ref, inter_ref):
     """In-VMEM hit attributes + texture + scatter on the folded winner —
-    the (T,1)-column twin of wavefront_soa.attrs_soa + scatter_soa
-    (hit.rs:24-30, material.rs:92-212). The five scatter uniforms arrive in
-    ``uni_ref`` cols 0-4 (drawn OUTSIDE with the exact threefry splits of
-    scatter_soa, so results are stream-identical to the unfused path);
-    col 5 carries spawn_eps. Image/noise textures need HBM gathers and are
-    excluded by the wrapper's eligibility check (constant/checker only)."""
+    the (1,T)-ROW twin of wavefront_soa.attrs_soa + scatter_soa
+    (hit.rs:24-30, material.rs:92-212). Round 3 built this epilogue on
+    (TILE,1) columns and measured it OUT (~200 ops at 1/128 lane
+    utilization ~ +31 ms/step at 960k lanes); on rows the same ~200 ops
+    cost TILE/128 = 2 vregs each (~16x less), which is why the fused
+    bounce is now the default path (see wavefront_soa.use_fused).
+
+    The five scatter uniforms arrive in ``uni_ref`` rows 0-4 (drawn
+    OUTSIDE with the exact threefry splits of scatter_soa, so results are
+    stream-identical to the unfused path); row 5 carries spawn_eps.
+    Image/noise textures need HBM gathers and are excluded by the
+    wrapper's eligibility check (constant/checker only). Motion scenes:
+    the winner's velocity sits in slots 4..6 and folds into the sphere
+    center candidates here (c + v*t), mirroring _run's post-kernel fold."""
     best_t, best_ty, best_ix, data = carry
     del best_ix
-    col = lambda i: data[:, i:i + 1]
+    col = lambda i: data[i:i + 1, :]
     valid = best_ty >= 0.0
     t = jnp.where(valid, best_t, 0.0)
     px = rv.ox + t * rv.dx
@@ -1425,8 +1476,15 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
         return x * inv, y * inv, z * inv
 
-    # sphere normal: slots [cx, cy, cz, csq]; slot 15 = exact r^2
+    # sphere normal: slots [cx, cy, cz, csq]; slot 15 = exact r^2; motion
+    # winners carry velocity in slots 4..6 (zeros on static tables). The
+    # velocity fold only feeds the SPHERE normal candidate, which rect/tri
+    # winners discard in the select below.
     cx, cy, cz = col(0), col(1), col(2)
+    if rv.time is not None:
+        cx = cx + col(4) * rv.time
+        cy = cy + col(5) * rv.time
+        cz = cz + col(6) * rv.time
     rsq_slot = col(SPH_RSQ_SLOT)
     r = jnp.sqrt(jnp.maximum(
         jnp.where(rsq_slot > 0.0, rsq_slot,
@@ -1464,12 +1522,12 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
 
     # scatter draws (scatter_soa stream order): u0,u1 = lambertian sphere;
     # u2,u3 = metal fuzz sphere; u4 = dielectric reflect choice
-    u0 = uni_ref[:, 0:1]
-    u1 = uni_ref[:, 1:2]
-    u2 = uni_ref[:, 2:3]
-    u3 = uni_ref[:, 3:4]
-    u4 = uni_ref[:, 4:5]
-    eps = uni_ref[:, 5:6]
+    u0 = uni_ref[0:1, :]
+    u1 = uni_ref[1:2, :]
+    u2 = uni_ref[2:3, :]
+    u3 = uni_ref[3:4, :]
+    u4 = uni_ref[4:5, :]
+    eps = uni_ref[5:6, :]
 
     # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard
     z = 1.0 - 2.0 * u0
@@ -1542,106 +1600,173 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
 
     side = jnp.sign(odx * nx + ody * ny + odz * nz) * eps
     no_ref[:] = jnp.concatenate(
-        [px + nx * side, py + ny * side, pz + nz * side], axis=1)
-    nd_ref[:] = jnp.concatenate([odx, ody, odz], axis=1)
-    att_ref[:] = jnp.concatenate([ar, ag, ab], axis=1)
-    emit_ref[:] = jnp.concatenate([er, eg, eb], axis=1)
-    p_ref[:] = jnp.concatenate([px, py, pz], axis=1)
-    n_ref[:] = jnp.concatenate([nx, ny, nz], axis=1)
+        [px + nx * side, py + ny * side, pz + nz * side], axis=0)
+    nd_ref[:] = jnp.concatenate([odx, ody, odz], axis=0)
+    att_ref[:] = jnp.concatenate([ar, ag, ab], axis=0)
+    emit_ref[:] = jnp.concatenate([er, eg, eb], axis=0)
+    p_ref[:] = jnp.concatenate([px, py, pz], axis=0)
+    n_ref[:] = jnp.concatenate([nx, ny, nz], axis=0)
     inter_ref[:] = inter.astype(jnp.int32)
 
 
-def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref,
-                   sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
-                   scull_ref, no_ref, nd_ref, att_ref, emit_ref, p_ref,
-                   n_ref, inter_ref, *, n_sph: int, n_rect: int,
-                   n_tri: int):
+def _bounce_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref, *refs,
+                   n_sph: int, n_rect: int, n_tri: int,
+                   has_time: bool = False):
     """One full bounce per call: closest hit over all tables + attrs +
     texture + scatter, all in VMEM. Removes the per-bounce XLA stage
-    (attrs_soa + scatter_soa + the (N,32) winner-data round trip) that cost
-    a measured ~1/3 of the step at 960k lanes."""
-    rv = ray_vals(o_ref, d_ref, tmin_ref, tmin_ref)
+    (attrs_soa + scatter_soa + the winner-data round trip) that cost a
+    measured ~8.3 ms/step at 960k lanes (experiments/step_profile.py)."""
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     no_ref, nd_ref, att_ref, emit_ref, p_ref, n_ref, inter_ref) = refs
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmin_ref, time_ref)
     rv = rv._replace(tmax=jnp.full_like(rv.tmin, BIG))
-    any_alive = jnp.any(alive_ref[:] > 0.5)
-
-    def live(carry):
-        carry = sphere_stage(carry, rv, sph_ref, cull_ref, n_sph,
-                             scull_ref=scull_ref)
-        carry = rect_stage(carry, rv, rect_ref, n_rect)
-        carry = tri_stage(carry, rv, tri_ref, tcull_ref, n_tri)
-        return carry
-
-    carry = jax.lax.cond(any_alive, live, lambda c: c, init_carry(rv))
+    carry, _, _ = _stage_sweep(rv, alive_ref[:], sph_ref, rect_ref, tri_ref,
+                               cull_ref, tcull_ref, scull_ref, n_sph=n_sph,
+                               n_rect=n_rect, n_tri=n_tri)
     _bounce_epilogue(rv, carry, uni_ref, no_ref, nd_ref, att_ref, emit_ref,
                      p_ref, n_ref, inter_ref)
 
 
+def _bounce_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
+                           alive_ref, uni_ref, *refs, n_sph: int,
+                           n_rect: int, n_tri: int, sph_cfg, tri_cfg,
+                           has_time: bool = False):
+    """Ordered-walk twin of _bounce_kernel (see _stage_sweep)."""
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     no_ref, nd_ref, att_ref, emit_ref, p_ref, n_ref, inter_ref) = refs
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmin_ref, time_ref)
+    rv = rv._replace(tmax=jnp.full_like(rv.tmin, BIG))
+    carry, _, _ = _stage_sweep(
+        rv, alive_ref[:], sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
+        scull_ref, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
+        order_ref=order_ref, cullf_ref=cullf_ref, sph_cfg=sph_cfg,
+        tri_cfg=tri_cfg)
+    _bounce_epilogue(rv, carry, uni_ref, no_ref, nd_ref, att_ref, emit_ref,
+                     p_ref, n_ref, inter_ref)
+
+
+_BOUNCE_OUT_WIDTHS = (3, 3, 3, 3, 3, 3, 1)   # no, nd, att, emit, p, n, inter
+
+
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",
                                              "interpret"))
-def _call_bounce(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull,
-                 scull, *, n_sph, n_rect, n_tri, interpret):
-    n = o.shape[0]
+def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
+                 scull, tscull, *, n_sph, n_rect, n_tri, interpret,
+                 time=None):
+    """Fused-bounce pallas call. Transposed operands throughout: ``o_t``/
+    ``d_t`` (3, N), ``uni_t`` (6, N); outputs (3, N) rows + (1, N) inter.
+    Takes the same per-tile ordered walk as the closest-hit kernel when a
+    stage qualifies (_order_flags)."""
+    n = o_t.shape[1]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
     if pad:
-        o = jnp.pad(o, [(0, pad), (0, 0)])
-        d = jnp.pad(d, [(0, pad), (0, 0)])
+        o_t = jnp.pad(o_t, [(0, 0), (0, pad)])
+        d_t = jnp.pad(d_t, [(0, 0), (0, pad)])  # zero dir -> all tests miss
         tmin = jnp.pad(tmin, [(0, pad)])
-        alive = jnp.pad(alive, [(0, pad)])
-        uni = jnp.pad(uni, [(0, pad), (0, 0)])
-    tmin = tmin[:, None]
-    alive = alive.astype(jnp.float32)[:, None]
+        alive = jnp.pad(alive, [(0, pad)])      # pad lanes are dead
+        uni_t = jnp.pad(uni_t, [(0, 0), (0, pad)])
+        if time is not None:
+            time = jnp.pad(time, [(0, pad)])
+    alive = alive.astype(jnp.float32)
 
+    sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
+    tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
+    n_tiles = n_pad // TILE
+    sph_ord, tri_ord = _order_flags(
+        n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+        cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
+
+    ray_ins = [o_t, d_t, tmin[None], alive[None], uni_t]
+    ray_widths = [3, 3, 1, 1, uni_t.shape[0]]
+    if time is not None:
+        ray_ins.append(time[None])
+        ray_widths.append(1)
     grid = (n_pad // TILE,)
-    kernel = functools.partial(_bounce_kernel, n_sph=n_sph, n_rect=n_rect,
-                               n_tri=n_tri)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri + 300
-    rs = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[rs(3), rs(3), rs(1), rs(1), rs(8)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[rs(3), rs(3), rs(3), rs(3), rs(3), rs(3), rs(1)],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 160,
-            transcendentals=n_pad * max(1, n_sph)),
-        interpret=interpret,
-    )(o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, scull)
-    return tuple(x[:n] for x in outs)
+    out_shape = ([jax.ShapeDtypeStruct((3, n_pad), jnp.float32)] * 6
+                 + [jax.ShapeDtypeStruct((1, n_pad), jnp.int32)])
+    cost = pl.CostEstimate(
+        flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 160,
+        transcendentals=n_pad * max(1, n_sph))
+
+    if sph_ord or tri_ord:
+        words, cullf, sph_cfg, tri_cfg = _build_order_operands(
+            o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
+            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+        rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
+                                    memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _bounce_kernel_ordered, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
+            sph_cfg=sph_cfg, tri_cfg=tri_cfg, has_time=time is not None)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[rs(w) for w in ray_widths]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+                out_specs=[rs(w) for w in _BOUNCE_OUT_WIDTHS]),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(words, cullf, *ray_ins, sph, rect, tri, cull, tcull, scull)
+    else:
+        rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)
+        kernel = functools.partial(_bounce_kernel, n_sph=n_sph,
+                                   n_rect=n_rect, n_tri=n_tri,
+                                   has_time=time is not None)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[rs(w) for w in ray_widths]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=[rs(w) for w in _BOUNCE_OUT_WIDTHS],
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*ray_ins, sph, rect, tri, cull, tcull, scull)
+    return tuple(x[:, :n] for x in outs)
 
 
 def bounce_fused_eligible(scene: Scene) -> bool:
     """The megakernel evaluates textures in VMEM: constant/checker only
     (image/noise need HBM gathers), and only a SINGLE-kernel table budget
     (it has no slab path — scenes beyond SPH_SLAB spheres must go through
-    _run/_run_slabbed)."""
+    _run/_run_slabbed). Motion blur is fused-eligible since round 4 (the
+    kernel threads per-ray time; the epilogue folds winner velocity)."""
     return (scene.images.shape[0] == 0
             and scene.textures.noise_marker.shape[0] == 0
-            and scene.spheres.motion_marker.shape[0] == 0
             and scene.spheres.radius.shape[0] <= SPH_SLAB
             and scene.triangles.mat_id.shape[0] <= TRI_SLAB)
 
 
-def bounce_fused(scene: Scene, o, d, t_min, alive, uni):
+def bounce_fused(scene: Scene, o_t, d_t, t_min, alive, uni_t, time=None):
     """One fused bounce: intersect + attrs + texture + scatter in a single
-    pallas call. ``uni`` is (N, 6): the five scatter uniforms (drawn with
-    scatter_soa's exact threefry splits — see wavefront_soa.scatter_uniforms)
-    and spawn_eps broadcast in col 5. Returns
-    (inter (N,) i32, new_o (N,3), new_d (N,3), att (N,3), emit (N,3),
-    p (N,3), n (N,3))."""
-    sph, rect, tri, cull, tcull, scull, _tscull = pack_tables(scene)
-    n = o.shape[0]
+    pallas call. TRANSPOSED interface (rays on the lane axis end to end):
+    ``o_t``/``d_t`` are (3, N); ``uni_t`` is (6, N) — the five scatter
+    uniforms (drawn with scatter_soa's exact threefry splits, see
+    wavefront_soa.scatter_uniforms) plus spawn_eps in row 5. ``time``
+    (N,) enables motion blur on moving-sphere scenes. Returns
+    (inter (N,) i32, new_o (3,N), new_d (3,N), att (3,N), emit (3,N),
+    p (3,N), n (3,N))."""
+    motion = (bool(scene.spheres.motion_marker.shape[0])
+              and time is not None)
+    sph, rect, tri, cull, tcull, scull, tscull = pack_tables(
+        scene, with_motion=motion)
+    n = o_t.shape[1]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    uni = jnp.pad(uni, [(0, 0), (0, 2)])  # (N, 8): lane-pad for VMEM
+    time = (jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+            if motion else None)
     interpret = jax.default_backend() != "tpu"
     no, nd, att, emit, p, nrm, inter = _call_bounce(
-        o, d, tmin, alive, uni, sph, rect, tri, cull, tcull, scull,
-        n_sph=sph.shape[1] if scene.spheres.radius.shape[0] else 0,
-        n_rect=rect.shape[1] if scene.rects.k.shape[0] else 0,
-        n_tri=tri.shape[1] if scene.triangles.mat_id.shape[0] else 0,
-        interpret=interpret)
-    return inter[:, 0], no, nd, att, emit, p, nrm
+        o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull, scull,
+        tscull,
+        n_sph=sph.shape[0] if scene.spheres.radius.shape[0] else 0,
+        n_rect=rect.shape[0] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[0] if scene.triangles.mat_id.shape[0] else 0,
+        interpret=interpret, time=time)
+    return inter[0], no, nd, att, emit, p, nrm

@@ -208,7 +208,8 @@ def test_slabbed_run_matches_single(key):
     np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
     hit = np.isfinite(np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
-    np.testing.assert_allclose(np.asarray(data1)[hit], np.asarray(data2)[hit],
+    np.testing.assert_allclose(np.asarray(data1)[:, hit],
+                               np.asarray(data2)[:, hit],
                                rtol=1e-5, atol=1e-5)
 
 
@@ -258,8 +259,9 @@ def test_tri_slabbed_run_matches_single(key):
     np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
     hit = np.isfinite(np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(ix1)[hit], np.asarray(ix2)[hit])
-    np.testing.assert_allclose(np.asarray(data1)[hit],
-                               np.asarray(data2)[hit], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(data1)[:, hit],
+                               np.asarray(data2)[:, hit],
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_slabbed_kernel_trace_count(key):
