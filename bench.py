@@ -148,6 +148,18 @@ def main():
     jax.block_until_ready(st8.glob.flux)
     dt_sppm8 = time.time() - t0
 
+    # THE reference workload end to end (main.rs:57-71's own Total print):
+    # Cornell 800x800, 50 SPPM iterations x 500k photons, 256-spp depth-50
+    # final gather — RenderConfig() defaults ARE the reference constants.
+    # One timed run (iteration programs are warm from the blocks above;
+    # the 8-thread CPU reference binary takes on the order of an hour).
+    from raytracer_tpu.utils.config import RenderConfig
+    t0 = time.time()
+    img_full, _, _ = sppm.render(cscene, RenderConfig(),
+                                 jax.random.PRNGKey(9))
+    jax.block_until_ready(img_full)
+    dt_full = time.time() - t0
+
     # on-TPU numeric smoke test (VERDICT r2 #5): render the two golden
     # scenes at 32x32 on the REAL chip and assert the same gamma-space
     # MC bands as tests/test_golden.py — catches bf16-rounding/precision
@@ -206,6 +218,7 @@ def main():
         "depth50_extrapolated_s_to_1000spp": round(dt50 * (1000 / spp_timed), 1),
         "sppm_iter_s_400x400_250k": round(dt_sppm, 2),
         "sppm_iter_s_800x800_500k": round(dt_sppm8, 2),
+        "sppm_full_800_s": round(dt_full, 1),
         "mrays_field64k": round(mrays_field, 2),
         "field64k_s_per_32spp": round(dt_f, 3),
         "mrays_field160k_slabbed": round(mrays_field2, 2),

@@ -99,73 +99,94 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
       texture's mean color, so a non-constant emit texture would make the
       shadow-ray estimator disagree with BRDF-sampled emission (the loader
       only produces constant emits; checker/image emitters would need
-      texture evaluation at the sampled light point here)."""
+      texture evaluation at the sampled light point here).
+
+    MANY LIGHTS (round-4 VERDICT item 5): each lane picks ONE light per
+    sample with the power-proportional categorical of lights.log_prob (the
+    AllLights analog, light.rs:220-225) and weights by 1/prob — one shadow
+    cast per bounce regardless of light count. The previous per-light
+    Python loop unrolled a full intersect_scene per registered light:
+    scene_500's 501 loader-registered emitters would have compiled 501
+    shadow casts per bounce. Unbiased: E[contrib_pick/prob] = sum over
+    lights of contrib. The per-lane light parameters are 8 tiny (L,) table
+    gathers."""
     n = p.shape[0]
-    n_lights = scene.lights.kind.shape[0]
+    lights = scene.lights
+    n_lights = lights.kind.shape[0]
     if n_lights == 0:
         return jnp.zeros((n, 3), jnp.float32)
     total = jnp.zeros((n, 3), jnp.float32)
 
-    for li in range(n_lights):
-        kind = scene.lights.kind[li]
-        p0 = scene.lights.p0[li]
-        p1 = scene.lights.p1[li]
-        r0 = scene.lights.r0[li]
-        flux = scene.lights.flux[li]
-        acc = jnp.zeros((n, 3), jnp.float32)
-        for s in range(n_samples):
-            k = jax.random.fold_in(jax.random.fold_in(key, 1000 + li), s)
-            k1, k2 = jax.random.split(k)
-            # sphere: uniform point on the hemisphere facing the point
-            center_to_p = vec.unit(p - p0[None])
-            sph_pt = p0[None] + sampling.uniform_hemisphere(
-                k1, center_to_p) * r0
-            sph_n = vec.unit(sph_pt - p0[None])
-            sph_inv_pdf = 2.0 * PI * r0 * r0
-            # rect (XZ plane at y = p0[1], normal facing down like
-            # XZRectLight's emission, light.rs:158-166)
-            uv = jax.random.uniform(k2, (n, 2))
-            rect_pt = jnp.stack([
-                p0[0] + (p1[0] - p0[0]) * uv[:, 0],
-                jnp.broadcast_to(p0[1], (n,)),
-                p0[2] + (p1[2] - p0[2]) * uv[:, 1],
-            ], axis=-1)
-            rect_n = jnp.broadcast_to(
-                jnp.asarray([0.0, -1.0, 0.0], jnp.float32), (n, 3))
-            rect_inv_pdf = jnp.abs((p1[0] - p0[0]) * (p1[2] - p0[2]))
+    for s in range(n_samples):
+        k = jax.random.fold_in(jax.random.fold_in(key, 1000), s)
+        k_pick, k1, k2 = jax.random.split(k, 3)
+        if n_lights == 1:
+            idx = jnp.zeros((n,), jnp.int32)    # prob 1: same estimator
+            inv_prob = 1.0
+        else:
+            idx = jax.random.categorical(k_pick, lights.log_prob,
+                                         shape=(n,))
+            inv_prob = jnp.exp(-lights.log_prob)[idx][:, None]
+        kind = lights.kind[idx]                 # (N,) per-lane light params
+        p0 = lights.p0[idx]                     # (N, 3)
+        if time is not None:
+            # moving emitters: sample the center at the shadow ray's
+            # shutter time (the sphere geometry moves with the same
+            # velocity in the primitive table)
+            p0 = p0 + lights.vel[idx] * jnp.asarray(
+                time, jnp.float32)[:, None]
+        p1 = lights.p1[idx]
+        r0 = lights.r0[idx][:, None]
+        flux = lights.flux[idx]
+        # sphere: uniform point on the hemisphere facing the point
+        center_to_p = vec.unit(p - p0)
+        sph_pt = p0 + sampling.uniform_hemisphere(k1, center_to_p) * r0
+        sph_n = vec.unit(sph_pt - p0)
+        sph_inv_pdf = 2.0 * PI * r0[:, 0] * r0[:, 0]
+        # rect (XZ plane at y = p0[1], normal facing down like
+        # XZRectLight's emission, light.rs:158-166)
+        uv = jax.random.uniform(k2, (n, 2))
+        rect_pt = jnp.stack([
+            p0[:, 0] + (p1[:, 0] - p0[:, 0]) * uv[:, 0],
+            p0[:, 1],
+            p0[:, 2] + (p1[:, 2] - p0[:, 2]) * uv[:, 1],
+        ], axis=-1)
+        rect_n = jnp.broadcast_to(
+            jnp.asarray([0.0, -1.0, 0.0], jnp.float32), (n, 3))
+        rect_inv_pdf = jnp.abs((p1[:, 0] - p0[:, 0])
+                               * (p1[:, 2] - p0[:, 2]))
 
-            is_sph = kind == LIGHT_SPHERE
-            point = jnp.where(is_sph, sph_pt, rect_pt)
-            n_l = jnp.where(is_sph, sph_n, rect_n)
-            inv_pdf = jnp.where(is_sph, sph_inv_pdf, rect_inv_pdf)
+        is_sph = (kind == LIGHT_SPHERE)[:, None]
+        point = jnp.where(is_sph, sph_pt, rect_pt)
+        n_l = jnp.where(is_sph, sph_n, rect_n)
+        inv_pdf = jnp.where(is_sph[:, 0], sph_inv_pdf, rect_inv_pdf)
 
-            # offset the shadow origin FIRST, then measure distance from it
-            # (f32 shadow epsilons are relative — Cornell-scale coordinates
-            # have ~0.02 ulps; measuring dist from the un-offset point would
-            # leave the light's own geometry inside the shadow interval)
-            p_sh = p + normal * (1e-4 * scene.scale)
-            to_light = point - p_sh
-            dist2 = jnp.maximum(vec.dot(to_light, to_light), 1e-12)
-            dist = jnp.sqrt(dist2)
-            dir_ = to_light / dist[:, None]
-            cos_p = jnp.maximum(vec.dot(normal, dir_), 0.0)
-            # rect lights EMIT two-sided in this framework (materials.py
-            # returns Le with no front-face check), so the rect cos term is
-            # two-sided too; a sphere light's far side is never visible
-            cos_l = jnp.where(is_sph,
-                              jnp.maximum(vec.dot(n_l, -dir_), 0.0),
-                              jnp.abs(vec.dot(n_l, -dir_)))
-            geom = cos_p * cos_l / dist2 * inv_pdf
-            candidate = valid & (geom > 0.0)
-            # shadow rays inherit the shading ray's shutter time so
-            # moving occluders are tested where the camera ray saw them
-            hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
-                                  intersector, time=time,
-                                  alive=(candidate if alive is None
-                                         else candidate & alive))
-            visible = ~jnp.isfinite(hit.t)
-            contrib = flux[None] * (albedo / PI) * geom[:, None]
-            acc = acc + jnp.where((visible & candidate)[:, None],
+        # offset the shadow origin FIRST, then measure distance from it
+        # (f32 shadow epsilons are relative — Cornell-scale coordinates
+        # have ~0.02 ulps; measuring dist from the un-offset point would
+        # leave the light's own geometry inside the shadow interval)
+        p_sh = p + normal * (1e-4 * scene.scale)
+        to_light = point - p_sh
+        dist2 = jnp.maximum(vec.dot(to_light, to_light), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_ = to_light / dist[:, None]
+        cos_p = jnp.maximum(vec.dot(normal, dir_), 0.0)
+        # rect lights EMIT two-sided in this framework (materials.py
+        # returns Le with no front-face check), so the rect cos term is
+        # two-sided too; a sphere light's far side is never visible
+        cos_l = jnp.where(is_sph[:, 0],
+                          jnp.maximum(vec.dot(n_l, -dir_), 0.0),
+                          jnp.abs(vec.dot(n_l, -dir_)))
+        geom = cos_p * cos_l / dist2 * inv_pdf
+        candidate = valid & (geom > 0.0)
+        # shadow rays inherit the shading ray's shutter time so
+        # moving occluders are tested where the camera ray saw them
+        hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
+                              intersector, time=time,
+                              alive=(candidate if alive is None
+                                     else candidate & alive))
+        visible = ~jnp.isfinite(hit.t)
+        contrib = flux * inv_prob * (albedo / PI) * geom[:, None]
+        total = total + jnp.where((visible & candidate)[:, None],
                                   contrib, 0.0)
-        total = total + acc / n_samples
-    return total
+    return total / n_samples

@@ -63,7 +63,8 @@ class SceneBuilder:
         self._sph = {"center": [], "radius": [], "mat_id": [], "velocity": []}
         self._rect = {"axis": [], "k": [], "a0": [], "a1": [], "b0": [], "b1": [], "mat_id": []}
         self._tri = {"v0": [], "e1": [], "e2": [], "n0": [], "n1": [], "n2": [], "mat_id": []}
-        self._light = {"kind": [], "p0": [], "p1": [], "r0": [], "flux": [], "scale": []}
+        self._light = {"kind": [], "p0": [], "p1": [], "r0": [], "flux": [],
+                       "scale": [], "vel": []}
         self._medium = {"kind": [], "p0": [], "p1": [], "r0": [],
                         "neg_inv_density": [], "mat_id": []}
         self._images = []
@@ -216,13 +217,23 @@ class SceneBuilder:
 
     # ------------------------------------------------------------ lights
 
-    def add_sphere_light(self, center, radius, flux, scale):
+    def add_sphere_light(self, center, radius, flux, scale,
+                         center1=None):
         """SphereDiffuseLight (light.rs:67-125): adds BOTH the light record
-        and the hitable sphere with a DiffuseLight material."""
+        and the hitable sphere with a DiffuseLight material. ``center1``
+        makes it a MOVING emitter (motion extension): the geometry sweeps
+        center->center1 over the shutter and the light record carries the
+        same velocity so NEE samples the time-correct position."""
         tex = self.constant_texture(flux)
         mat = self.diffuse_light(tex)
-        self.add_sphere(center, radius, mat)
-        self._push_light(T.LIGHT_SPHERE, center, (0, 0, 0), radius, flux, scale)
+        if center1 is not None:
+            self.add_moving_sphere(center, center1, radius, mat)
+            vel = tuple(b - a for a, b in zip(center, center1))
+        else:
+            self.add_sphere(center, radius, mat)
+            vel = (0.0, 0.0, 0.0)
+        self._push_light(T.LIGHT_SPHERE, center, (0, 0, 0), radius, flux,
+                         scale, vel=vel)
         return mat
 
     def add_xzrect_light(self, x0, z0, x1, z1, y, flux, scale,
@@ -236,13 +247,15 @@ class SceneBuilder:
         self._push_light(T.LIGHT_XZRECT, (x0, y, z0), (x1, y, z1), 0.0, flux, scale)
         return mat
 
-    def _push_light(self, kind, p0, p1, r0, flux, scale):
+    def _push_light(self, kind, p0, p1, r0, flux, scale,
+                    vel=(0.0, 0.0, 0.0)):
         self._light["kind"].append(kind)
         self._light["p0"].append(tuple(p0))
         self._light["p1"].append(tuple(p1))
         self._light["r0"].append(r0)
         self._light["flux"].append(tuple(flux))
         self._light["scale"].append(scale)
+        self._light["vel"].append(tuple(vel))
 
     # ------------------------------------------------------------ camera
 
@@ -314,6 +327,7 @@ class SceneBuilder:
             scale=_arr(self._light["scale"], (0,)),
             prob=jnp.asarray(prob),
             log_prob=jnp.asarray(np.log(np.maximum(prob, 1e-30))),
+            vel=_arr(self._light["vel"], (0, 3)),
         )
 
         cp = self.camera_params or dict(

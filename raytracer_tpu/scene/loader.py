@@ -135,7 +135,13 @@ class _Loader:
                 center = _vec(spec["center"])
                 self.b.add_sphere(center, radius, mid)
             if emissive is not None and any(c > 0 for c in emissive):
-                self.b._push_light(0, center, (0, 0, 0), radius, emissive, 1.0)
+                # moving emitters register their velocity so NEE samples
+                # the center at the shadow ray's time (c0 + (c1-c0)*t)
+                vel = (tuple(b - a for a, b in zip(center, _vec(spec["center1"])))
+                       if (kind == "MovingSphere" or "center1" in spec)
+                       else (0.0, 0.0, 0.0))
+                self.b._push_light(0, center, (0, 0, 0), radius, emissive,
+                                   1.0, vel=vel)
         elif kind is None and isinstance(spec, list):
             for item in spec:
                 self.obj(item)
