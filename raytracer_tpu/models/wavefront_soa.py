@@ -340,15 +340,19 @@ def block_order(width: int, height: int, bs: int = 16):
 def use_fused(scene: Scene, intersector: str) -> bool:
     """Static choice of the fused bounce megakernel.
 
-    MEASURED AND REJECTED as the default (round 3): the megakernel is
-    stream-identical to the unfused path (test_wavefront_soa pins it), but
-    its per-ray epilogue runs ~200 ops on (TILE,1) COLUMN vectors — 1/128
-    VPU lane utilization — costing ~+31 ms/step at 960k lanes versus the
-    ~14 ms XLA attrs+scatter stage it replaces (scene_500 32spp RR: 3.67 ->
-    5.43 s). A (1,TILE)-row epilogue would be ~1/8 utilization, roughly
-    break-even. Opt in with RAYTRACER_TPU_FUSED_BOUNCE=1."""
+    DEFAULT ON since round 4's kernel transpose (rays on the lane axis).
+    Round 3 measured the fused bounce OUT: its epilogue ran ~200 ops on
+    (TILE,1) COLUMN vectors at 1/128 VPU lane utilization (+31 ms/step at
+    960k lanes, scene_500 32spp RR 3.67 -> 5.43 s). With the transposed
+    layout the same epilogue runs on (1,TILE) rows (2 vregs/op) and the
+    megakernel wins everywhere it is eligible — measured on TPU v5e
+    (experiments/fused_bounce_bench.py, 800x600 32spp RR, identical
+    means): scene_500 32.81 -> 33.67 Mrays/s, scene_10 47.72 -> 50.36,
+    cornell 41.25 -> 42.70. Stream-identical to the unfused path
+    (test_wavefront_soa pins it). Opt out with
+    RAYTRACER_TPU_FUSED_BOUNCE=0."""
     import os
-    if os.environ.get("RAYTRACER_TPU_FUSED_BOUNCE") != "1":
+    if os.environ.get("RAYTRACER_TPU_FUSED_BOUNCE") == "0":
         return False
     from raytracer_tpu.ops.pallas_intersect import bounce_fused_eligible
     return intersector == "pallas" and bounce_fused_eligible(scene)
