@@ -2,7 +2,7 @@
 
 Measures bunny_field(25) (124,200 tris, 3 TRI_SLAB chunks) at 800x600
 32spp RR with the ordered walk on vs off, plus bun315 Cornell-free solo
-mesh as the single-slab case. Writes docs/images/bunny_field.png from the
+mesh as the single-slab case. With --save, writes docs/images/bunny_field.png from the
 ordered run.
 
 Usage: python experiments/tri_walk_bench.py [--static]
@@ -19,6 +19,7 @@ import numpy as np
 import raytracer_tpu.ops.pallas_intersect as pi
 
 STATIC = "--static" in sys.argv
+SAVE = "--save" in sys.argv    # gate the docs artifact (ADVICE r3: no side effects)
 if STATIC:
     pi.ORDER_MIN_CHUNKS = 10 ** 9
 print("mode:", "STATIC" if STATIC else "ORDERED", flush=True)
@@ -47,7 +48,7 @@ def main():
     print(f"bunny_field(25) 800x600 32spp RR: {dt:.2f} s  "
           f"{int(rays) / dt / 1e6:.2f} Mrays/s  mean={img.mean():.5f}",
           flush=True)
-    if not STATIC:
+    if SAVE and not STATIC:
         from raytracer_tpu.utils.image import save_render
         save_render("docs/images/bunny_field.png", img)
         print("wrote docs/images/bunny_field.png", flush=True)

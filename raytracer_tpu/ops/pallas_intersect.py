@@ -47,6 +47,13 @@ Winner-data slots (32, TILE), decoded in :func:`attrs_from_winner_data`:
 Math matches ops/intersect.py exactly (sphere.rs:24-55, rectangle.rs,
 mesh.rs:57-98 via the scalar-triple-product form). Falls back to interpret
 mode off-TPU so tests exercise the same code path.
+
+NOTE on the module tunables (SPH_CHUNK, SUPER, ORDER_MIN_CHUNKS,
+REACH_CLAMP, ORDER_STATS): they are trace-time constants baked into the
+jitted kernel programs on first use. Flipping one after a kernel has
+traced is silently ignored by already-cached programs — A/B them with one
+process per setting (the experiments/ harnesses do exactly that), or call
+jax.clear_caches() after toggling.
 """
 
 from __future__ import annotations
@@ -70,10 +77,14 @@ from raytracer_tpu.scene.types import (
 TILE = 256
 CHUNK = 512        # rect/tri chunk width
 # Sphere chunk width. Finer chunks enable more selective per-chunk AABB
-# culling but add per-chunk fixed costs (reductions, extraction); wavefronts
-# are incoherent after the first bounce so culling rarely skips — measured:
-# 1024 > 512 > 128 on scene_500.
-SPH_CHUNK = 1024
+# culling but add per-chunk fixed costs (reductions, extraction). Round 3's
+# column layout measured 1024 > 512 > 128 (per-chunk reductions ran on
+# (TILE,1) columns); the round-4 row layout made per-chunk fixed cost ~16x
+# cheaper and flipped the tradeoff — measured on v5e (experiments/
+# headline_chunk_bench.py + chunk_tuning_bench.py): scene_500 (1005 sph,
+# 4-chunk flat scan with per-chunk best-t culls) 37.1 -> 40.0 Mrays/s noRR;
+# 64k field (ordered walk) 6.53 -> 6.10 s per 32spp render, 512 ties 256.
+SPH_CHUNK = 256
 SUPER = 8          # sphere chunks per superchunk AABB (two-level cull)
 N_GEO_SLOTS = 16
 N_FEAT = 12
@@ -90,7 +101,8 @@ SPH_VEL_ROW = 6 + N_FEAT  # first velocity row (rows 18..20)
 SPH_VEL_SLOTS = [4, 5, 6]
 # Ordered dynamic chunk walk (large sphere tables): per-tile near-to-far
 # chunk order rides scalar prefetch (SMEM). Byte-packed ids cap the walk at
-# 256 chunks (256 * SPH_CHUNK = 262k spheres); the SMEM budget bounds
+# 256 supers (8-bit packed ids; slabbing caps tables at 16k spheres = 64
+# chunks long before that); the SMEM budget bounds
 # n_tiles * words — beyond either, fall back to the static two-level scan.
 ORDER_MIN_CHUNKS = 16
 ORDER_MAX_CHUNKS = 256

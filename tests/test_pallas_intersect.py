@@ -294,3 +294,59 @@ def test_slabbed_kernel_trace_count(key):
         pi.SPH_SLAB = old
         pi._call_kernel = real
     assert calls == 2, calls         # slab 0 + one scanned body
+
+
+def test_ordered_walk_reach_clamp_boundary_grazing():
+    """ADVICE r3: stage_ordered's reach cap (t_cap = leave*1.001 + 1e-4,
+    the lane's exit-t from the stage AABB) must never flip a true hit to a
+    miss for rays originating OUTSIDE the stage box whose winning hit lies
+    AT the box boundary — grazing hits on the outermost spheres, where a
+    too-tight cap would bite first. Pins (a) exact agreement between the
+    ordered walk and the brute force on tangent-grazing boundary rays, and
+    (b) bit-identical winners with REACH_CLAMP off (the clamp may only
+    skip unreachable work, never change an answer)."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.scene.builtin import sphere_field
+
+    scene = sphere_field(8192)   # 32 chunks of 256: ordered route on
+    sph_chunk = pi.eff_chunk(8192, pi.SPH_CHUNK)
+    assert pi._wants_order(8192, sph_chunk)
+
+    c = np.asarray(scene.spheres.center)
+    r = np.asarray(scene.spheres.radius)
+    # the two extreme spheres along +x / -x: their surfaces ARE the stage
+    # AABB boundary in x
+    i_hi = int(np.argmax(c[:, 0] + r))
+    i_lo = int(np.argmin(c[:, 0] - r))
+    o_list, d_list = [], []
+    for i, side in ((i_hi, +1.0), (i_lo, +1.0), (i_hi, -1.0)):
+        ci, ri = c[i], r[i]
+        # impact parameters from dead-center to just-outside-tangent; the
+        # ray comes from 50 units OUTSIDE the box travelling along -+x, so
+        # its stage-box leave-t sits exactly at the far boundary sphere
+        for frac in (0.0, 0.5, 0.9, 0.99, 0.999, 1.0 - 1e-6, 1.0, 1.001):
+            b = ri * frac
+            o_list.append([ci[0] + side * 50.0, ci[1] + b, ci[2]])
+            d_list.append([-side, 0.0, 0.0])
+            o_list.append([ci[0] + side * 50.0, ci[1], ci[2] + b])
+            d_list.append([-side, 0.0, 0.0])
+    # pad to a full lane tile with far-miss rays (keep reach finite)
+    while len(o_list) % 64:
+        o_list.append([500.0, 500.0, 500.0])
+        d_list.append([0.0, 1.0, 0.0])
+    o = jnp.asarray(np.asarray(o_list, np.float32))
+    d = jnp.asarray(np.asarray(d_list, np.float32))
+
+    check_agreement(scene, o, d)
+
+    alive = jnp.ones((o.shape[0],), jnp.float32)
+    h_on = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    assert pi.REACH_CLAMP
+    pi.REACH_CLAMP = False
+    pi._call_kernel._clear_cache()
+    try:
+        h_off = intersect_pallas(scene, o, d, 1e-3, jnp.inf, alive=alive)
+    finally:
+        pi.REACH_CLAMP = True
+        pi._call_kernel._clear_cache()
+    _assert_walks_equal(h_on, h_off, alive)
