@@ -11,9 +11,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import sys
-import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -47,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="next-event estimation for the pt integrator "
                         "(direct-light shadow rays at diffuse vertices; "
                         "same mean, lower variance)")
+    r.add_argument("--mis", action="store_true",
+                   help="book-3 mixture-PDF importance sampling for the pt "
+                        "integrator (50/50 cosine/light-direction mixture "
+                        "at diffuse vertices, reweighted by pdf_cos/"
+                        "pdf_mix; extension - the reference has no PDF "
+                        "classes). Exclusive with --nee")
     r.add_argument("--bvh", action="store_true",
                    help="build a BVH for the scene")
     r.add_argument("--sharded", action="store_true",
@@ -124,7 +128,7 @@ def cmd_render(args) -> int:
         spp_chunk=args.spp_chunk, max_depth=args.max_depth,
         seed=args.seed if args.seed is not None else 0,
         intersector=args.intersector, output=args.out,
-        nee=args.nee,
+        nee=args.nee, mis=args.mis,
         sppm=SPPMConfig(n_iterations=args.sppm_iters,
                         photons_per_iter=args.sppm_photons,
                         alpha=args.sppm_alpha))

@@ -29,8 +29,6 @@ import jax.numpy as jnp
 from raytracer_tpu.models.camera import camera_rays
 from raytracer_tpu.ops import materials as mat_ops
 from raytracer_tpu.ops import vec
-from raytracer_tpu.ops.intersect import hit_attributes
-from raytracer_tpu.ops.dispatch import intersect_scene
 from raytracer_tpu.scene.types import INTER_ABSORB, INTER_DIFFUSE, Scene
 from raytracer_tpu.utils.config import RenderConfig
 
@@ -70,7 +68,7 @@ RR_START_BOUNCE = 3  # Russian roulette kicks in after this many bounces
 def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
                    spawn_eps, intersector: str = "auto",
                    time=None, russian_roulette: bool = True,
-                   nee: bool = False) -> TraceResult:
+                   nee: bool = False, mis: bool = False) -> TraceResult:
     """Trace a wavefront of rays to completion; returns per-ray radiance.
     ``time`` (N,) enables motion blur: scattered rays inherit their primary
     ray's shutter time (book-2 semantics).
@@ -91,7 +89,15 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     as ``alive`` so they contribute no traversal work (measured -16% on
     scene_500; full stream compaction was measured and rejected twice — the
     1-D scatter that inverts the partition permutation costs ~29 ms/bounce
-    inside the traced loop, see ROUND_NOTES.md round 2)."""
+    inside the traced loop, see ROUND_NOTES.md round 2).
+
+    ``mis``: book-3 mixture-PDF importance sampling (extension; see
+    ops/mis.py) — diffuse vertices sample a 50/50 cosine/light-direction
+    mixture and reweight throughput by pdf_cos/pdf_mix. Mutually exclusive
+    with ``nee`` (both are variance reducers for direct light); runs on
+    the XLA wavefront (the SoA regen path has no mixture plumbing)."""
+    if mis and nee:
+        raise ValueError("--mis and --nee are mutually exclusive")
     n = o.shape[0]
 
     # SoA fast path: all wavefront state as (N,) components — avoids the
@@ -99,7 +105,7 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     # models/wavefront_soa.py). Same semantics, same key streams.
     from raytracer_tpu.ops.dispatch import _resolve
     method = _resolve(scene, intersector, has_time=time is not None)
-    if (method in ("pallas", "leaf")
+    if (method in ("pallas", "leaf") and not mis
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import trace_radiance_soa
         radiance, rays = trace_radiance_soa(
@@ -144,9 +150,19 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
             radiance = radiance + jnp.where(
                 diffuse_now[:, None], s.throughput * dl, 0.0)
 
+        if mis:
+            from raytracer_tpu.ops.mis import mixture_reweight
+            d_mis, w_mis = mixture_reweight(
+                scene, jax.random.fold_in(k, 61), attrs.p, attrs.normal,
+                sc.direction, diffuse_now, time=time)
+            direction = jnp.where(diffuse_now[:, None], d_mis, sc.direction)
+            attenuation = sc.attenuation * w_mis[:, None]
+        else:
+            direction = sc.direction
+            attenuation = sc.attenuation
         cont = live & (sc.interaction != INTER_ABSORB)
         throughput = jnp.where(cont[:, None],
-                               s.throughput * sc.attenuation, s.throughput)
+                               s.throughput * attenuation, s.throughput)
         if russian_roulette:
             p_surv = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
             do_rr = s.bounce >= RR_START_BOUNCE
@@ -155,9 +171,9 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
             throughput = jnp.where((do_rr & cont & survive)[:, None],
                                    throughput / p_surv[:, None], throughput)
             cont = cont & survive
-        new_o = spawn_origin(attrs.p, attrs.normal, sc.direction, spawn_eps)
+        new_o = spawn_origin(attrs.p, attrs.normal, direction, spawn_eps)
         o2 = jnp.where(cont[:, None], new_o, s.o)
-        d2 = jnp.where(cont[:, None], sc.direction, s.d)
+        d2 = jnp.where(cont[:, None], direction, s.d)
         prev_diffuse = diffuse_now if nee else s.prev_diffuse
         return S(s.bounce + 1, o2, d2, throughput, radiance, cont,
                  prev_diffuse, s.rays + jnp.sum(s.alive))
@@ -176,11 +192,12 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "spp", "spp_chunk", "max_depth", "intersector",
-    "russian_roulette", "nee"))
+    "russian_roulette", "nee", "mis"))
 def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
               spp_chunk: int, max_depth: int, t_min: float,
               spawn_eps_rel: float, intersector: str = "auto",
-              russian_roulette: bool = True, nee: bool = False):
+              russian_roulette: bool = True, nee: bool = False,
+              mis: bool = False):
     """Render the full image: fori_loop over sample chunks, each chunk a
     (H*W*spp_chunk)-ray wavefront. Returns ((H,W,3) linear image, rays)."""
     npix = width * height
@@ -197,7 +214,7 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
     # has_time=True: the regen wavefront draws per-sample shutter times
     # itself when the scene moves, so moving scenes ride the kernel path
     method = _resolve(scene, intersector, has_time=True)
-    if (method in ("pallas", "leaf")
+    if (method in ("pallas", "leaf") and not mis
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import render_regen_soa
         accum, rays, _steps = render_regen_soa(
@@ -221,7 +238,7 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
         res = trace_radiance(
             scene, o, d, k_trace, max_depth=max_depth, t_min=t_min,
             spawn_eps=spawn_eps, intersector=intersector, time=time,
-            russian_roulette=russian_roulette, nee=nee)
+            russian_roulette=russian_roulette, nee=nee, mis=mis)
         # rays metric = intersection calls executed; bounce 0 (all lanes
         # alive on entry) already counts the primary rays — do not add them
         # again.
@@ -261,7 +278,7 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
             spawn_eps_rel=config.spawn_eps_rel,
             intersector=config.intersector,
             russian_roulette=config.russian_roulette,
-            nee=config.nee)
+            nee=config.nee, mis=config.mis)
         w = spp / total
         accum = img * w if accum is None else accum + img * w
         rays_total += int(rays)

@@ -17,7 +17,7 @@ becomes the explicit ``ci_preset()`` constructor.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,8 @@ class RenderConfig:
     # vertices + emission-skip on diffuse-scattered rays; the reference's
     # sample_li, light.rs:107-124, ships but is never called)
     nee: bool = False
+    # book-3 mixture-PDF importance sampling (ops/mis.py); exclusive with nee
+    mis: bool = False
     sppm: SPPMConfig = dataclasses.field(default_factory=SPPMConfig)
     # Intersection strategy: "auto" picks brute force for small scenes and
     # BVH traversal for large ones (threshold below).
