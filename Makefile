@@ -7,8 +7,13 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
+# Real linter (clippy -D warnings analog, cargo.yml:27-36): no ruff in
+# this image and installs are forbidden, so tools/lint.py is a stdlib AST
+# checker (F401/F403/F811/E501/E711/E722/B006/W291/W605/F541...).
+# compileall stays as the syntax gate.
 lint:
 	$(PY) -m compileall -q raytracer_tpu tests bench.py __graft_entry__.py
+	$(PY) tools/lint.py
 
 native:
 	g++ -O3 -march=native -shared -fPIC -std=c++17 \

@@ -37,7 +37,7 @@ def timeit(fn, *args, reps=3, **kw):
     return best, out
 
 
-mode = os.environ.get("RAYTRACER_TPU_FUSED_BOUNCE", "0")
+mode = os.environ.get("RAYTRACER_TPU_FUSED_BOUNCE", "on(default)")
 key = jax.random.PRNGKey(1)
 kw = dict(width=800, height=600, spp=32, spp_chunk=2, max_depth=16,
           t_min=1e-3, spawn_eps_rel=1e-4, intersector="pallas",

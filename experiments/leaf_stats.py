@@ -186,7 +186,6 @@ def main():
         n /= np.linalg.norm(n, axis=1, keepdims=True)
         # cosine hemisphere
         r1, r2 = rng.random(len(p)), rng.random(len(p))
-        a_ = np.cross(n, [0.123, 0.456, 0.789]); a_ /= np.linalg.norm(a_, 1e-12 + a_.__abs__().max(), keepdims=True) if False else 1
         a_ = np.cross(n, np.array([0.123, 0.456, 0.789])[None])
         a_ /= np.linalg.norm(a_, axis=1, keepdims=True)
         b_ = np.cross(n, a_)

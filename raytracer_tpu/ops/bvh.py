@@ -21,7 +21,6 @@ Mixed primitive types share one tree: the unified list is
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,8 @@ Parity notes (reference file:line):
 - ``is_near_zero`` (1e-8)              vec3.rs:93-96    -> :func:`near_zero`
 - ``reflect``                          vec3.rs:163-165  -> :func:`reflect`
 - ``refract``                          vec3.rs:167-172  -> :func:`refract`
-- 4x4 point/dir transform (nalgebra)   vec3.rs:174-184  -> :func:`transform_point` / :func:`transform_dir`
+- 4x4 point/dir transform (nalgebra)   vec3.rs:174-184
+  -> :func:`transform_point` / :func:`transform_dir`
 - gamma-2 encode to Rgb<u8>            vec3.rs:223-231  -> :func:`to_rgb8`
 - gamma-2 decode from Rgb<u8>          vec3.rs:233-245  -> :func:`from_rgb8`
 """

@@ -19,7 +19,7 @@ folding.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

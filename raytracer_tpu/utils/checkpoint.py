@@ -5,9 +5,7 @@ is a first-class feature: ``--checkpoint`` + ``--resume`` on the CLI)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,11 +6,9 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from raytracer_tpu.ops import bvh as bvh_ops
 from raytracer_tpu.ops import intersect as ix
-from raytracer_tpu.scene import SceneBuilder
 from raytracer_tpu.scene.builtin import cornell_box
 from raytracer_tpu.scene.loader import load_scene
 

@@ -10,7 +10,8 @@ from raytracer_tpu.cli import main
 
 def test_render_pt_builtin(tmp_path):
     out = str(tmp_path / "pt.png")
-    rc = main(["render", "--jax-cache", str(tmp_path / "jc"), "--scene", "spheres", "--integrator", "pt",
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "spheres", "--integrator", "pt",
                "--width", "24", "--height", "24", "--spp", "4",
                "--max-depth", "4", "--out", out])
     assert rc == 0 and os.path.exists(out)
@@ -22,7 +23,8 @@ def test_render_pt_builtin(tmp_path):
 
 def test_render_scene_file_with_bvh(tmp_path):
     out = str(tmp_path / "s10.png")
-    rc = main(["render", "--jax-cache", str(tmp_path / "jc"), "--scene", "data/scene_10.json", "--integrator", "pt",
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "data/scene_10.json", "--integrator", "pt",
                "--width", "20", "--height", "20", "--spp", "2",
                "--max-depth", "3", "--intersector", "bvh", "--out", out])
     assert rc == 0 and os.path.exists(out)
@@ -31,14 +33,16 @@ def test_render_scene_file_with_bvh(tmp_path):
 def test_render_sppm_checkpoint_resume(tmp_path):
     out = str(tmp_path / "sppm.png")
     ck = str(tmp_path / "state.npz")
-    rc = main(["render", "--jax-cache", str(tmp_path / "jc"), "--scene", "cornell", "--integrator", "sppm",
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "cornell", "--integrator", "sppm",
                "--width", "16", "--height", "16", "--spp", "2",
                "--max-depth", "4", "--sppm-iters", "2",
                "--sppm-photons", "2000", "--checkpoint", ck, "--out", out])
     assert rc == 0 and os.path.exists(out) and os.path.exists(ck)
     # resume one more iteration from the checkpoint
     out2 = str(tmp_path / "sppm2.png")
-    rc = main(["render", "--jax-cache", str(tmp_path / "jc"), "--scene", "cornell", "--integrator", "sppm",
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "cornell", "--integrator", "sppm",
                "--width", "16", "--height", "16", "--spp", "2",
                "--max-depth", "4", "--sppm-iters", "3",
                "--sppm-photons", "2000", "--resume", ck, "--out", out2])
@@ -47,7 +51,8 @@ def test_render_sppm_checkpoint_resume(tmp_path):
 
 def test_sharded_cli(tmp_path):
     out = str(tmp_path / "shard.png")
-    rc = main(["render", "--jax-cache", str(tmp_path / "jc"), "--scene", "spheres", "--integrator", "pt",
+    rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
+               "--scene", "spheres", "--integrator", "pt",
                "--width", "24", "--height", "24", "--spp", "4",
                "--max-depth", "4", "--sharded", "--out", out])
     assert rc == 0 and os.path.exists(out)

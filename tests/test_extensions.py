@@ -3,7 +3,6 @@ textures, bunny mesh, transform rotation."""
 
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,7 +6,7 @@ import numpy as np
 
 from raytracer_tpu.ops import intersect as ix
 from raytracer_tpu.scene import SceneBuilder
-from raytracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
+from raytracer_tpu.scene.types import PRIM_RECT, PRIM_TRIANGLE
 
 
 def rays(*pairs):

@@ -1,9 +1,7 @@
 """Multi-chip sharding tests on the 8-virtual-CPU-device mesh."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from raytracer_tpu.parallel import render as prender
 from raytracer_tpu.models import path_tracer

@@ -1,6 +1,5 @@
 """Sharded SPPM iteration on the 8-virtual-device mesh."""
 
-import jax
 import numpy as np
 
 from raytracer_tpu.models import sppm as sppm_model

@@ -1,7 +1,6 @@
 """End-to-end render smoke tests on tiny images (CPU)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from raytracer_tpu.models import path_tracer

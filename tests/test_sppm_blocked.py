@@ -3,7 +3,6 @@ the per-block measurement RNG; with one block covering everything and the
 same key derivation they should be statistically equivalent and touch the
 same structure."""
 
-import jax
 import numpy as np
 
 from raytracer_tpu.models import sppm

@@ -3,7 +3,6 @@ plus batched-broadcast cases the reference cannot express."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from raytracer_tpu.ops import vec
 
