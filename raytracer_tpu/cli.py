@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("render", help="render a scene to a PNG")
     r.add_argument("--scene", default="cornell",
-                   help="'cornell', 'spheres', 'field[:N]' (N-sphere "
+                   help="'cornell', 'spheres', 'smoke' (Cornell with "
+                        "two smoke volumes), 'field[:N]' (N-sphere "
                         "stress field), 'bunnies[:N]' (N-bunny mesh "
                         "field), 'motion[:N]' (N moving spheres), or a "
                         "data/*.json|yaml path")
@@ -81,6 +82,9 @@ def load_scene_arg(name: str, aspect: float):
     if name == "spheres":
         from raytracer_tpu.scene.builtin import three_spheres
         return three_spheres(aspect_ratio=aspect)
+    if name == "smoke":
+        from raytracer_tpu.scene.builtin import cornell_smoke
+        return cornell_smoke(aspect_ratio=aspect)
     def _count(default: int) -> int:
         if ":" not in name:
             return default

@@ -62,6 +62,37 @@ def cornell_box(aspect_ratio: float = 1.0, with_mesh: bool = True,
     return b.compile()
 
 
+def cornell_smoke(aspect_ratio: float = 1.0):
+    """Cornell walls + light with the two boxes replaced by constant-
+    density smoke volumes (book-2 cornell_smoke class; EXTENSION — the
+    reference's only hard-coded scene is scene.rs:16-112, but its
+    ConstantMedium type, medium.rs:7-61, supports exactly this). Exercises
+    ops/media.py at full render scale: media scenes take the XLA wavefront
+    (the SoA kernel path has no medium plumbing) — media_path_bench.py
+    publishes the measured tax."""
+    b = SceneBuilder()
+    red = b.lambertian(b.constant_texture((0.75, 0.25, 0.25)))
+    white = b.lambertian(b.constant_texture((0.75, 0.75, 0.75)))
+    blue = b.lambertian(b.constant_texture((0.25, 0.25, 0.75)))
+    b.add_yz_rect(0.0, 0.0, 555.0, 555.0, 555.0, red)
+    b.add_yz_rect(0.0, 0.0, 555.0, 555.0, 0.0, blue)
+    b.add_xz_rect(0.0, 0.0, 555.0, 555.0, 0.0, white)
+    b.add_xz_rect(0.0, 0.0, 555.0, 555.0, 555.0, white)
+    b.add_xy_rect(0.0, 0.0, 555.0, 555.0, 555.0, white)
+    b.add_xzrect_light(213.0, 227.0, 343.0, 332.0, 554.0,
+                       (1.0, 1.0, 1.0), 1e6, add_geometry=True)
+    # dark and light smoke boxes (book-2 final-scene densities)
+    b.add_constant_medium_box((265.0, 0.0, 295.0), (430.0, 330.0, 460.0),
+                              0.01, b.constant_texture((0.0, 0.0, 0.0)))
+    b.add_constant_medium_box((130.0, 0.0, 65.0), (295.0, 165.0, 230.0),
+                              0.01, b.constant_texture((1.0, 1.0, 1.0)))
+    b.set_camera(look_from=(278.0, 278.0, -800.0),
+                 look_at=(278.0, 278.0, 278.0), vup=(0.0, 1.0, 0.0),
+                 vfov=50.0, aspect_ratio=aspect_ratio, aperture=0.0,
+                 focus_dist=10.0)
+    return b.compile()
+
+
 def sphere_field(n: int = 65536, aspect_ratio: float = 4.0 / 3.0,
                  seed: int = 0):
     """Large-scene stress bench: an n-sphere jittered grid field over a
