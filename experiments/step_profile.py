@@ -21,6 +21,8 @@ from __future__ import annotations
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 
@@ -67,7 +69,7 @@ def profile_scene(path, n, k_steps, width=800, height=600):
         # the step's full threefry budget alone: scatter's 5 + RR's 1 +
         # camera respawn's 5 uniforms over n
         k = jax.random.fold_in(key, i)
-        u = ws.scatter_uniforms(k, n).sum(axis=0)
+        u = jax.random.uniform(k, (ws.U_REGEN_ROWS, n)).sum(axis=0)
         u = u + jax.random.uniform(jax.random.fold_in(k, 37), (n,))
         spawn_k = jax.random.fold_in(jax.random.fold_in(key, 7), i + 1)
         cox, coy, coz, cdx, cdy, cdz = ws.camera_rays_soa(

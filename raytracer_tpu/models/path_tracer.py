@@ -129,9 +129,13 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
 
     def body(s: S):
         k = jax.random.fold_in(key, s.bounce)
+        # one batched uniform draw per step: rows 0-2 scatter, row 3 RR
+        # (same layout as wavefront_soa's trace loop — the stream-identity
+        # pair). hit_and_attrs keeps k for the media free-flight draws.
+        U = jax.random.uniform(k, (4, n))
         attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
                                      time=time, alive=s.alive)
-        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
+        sc = mat_ops.scatter(scene, U[:3], s.d, attrs, feats)
 
         live = s.alive & attrs.valid
         # with NEE, emission along diffuse-scattered rays was already
@@ -166,7 +170,7 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
         if russian_roulette:
             p_surv = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
             do_rr = s.bounce >= RR_START_BOUNCE
-            u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
+            u = U[3]
             survive = ~do_rr | (u < p_surv)
             throughput = jnp.where((do_rr & cont & survive)[:, None],
                                    throughput / p_surv[:, None], throughput)

@@ -89,9 +89,10 @@ def trace_photon_deposits(scene: Scene, key, n_photons: int, max_bounces: int,
 
     def step(s: S, _):
         k = jax.random.fold_in(jax.random.fold_in(key, 13), s.bounce)
+        U = jax.random.uniform(k, (4, s.d.shape[0]))
         attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
                                      alive=s.alive)
-        sc, new_power = mat_ops.scatter_photon(scene, k, s.d, attrs, s.power,
+        sc, new_power = mat_ops.scatter_photon(scene, U, s.d, attrs, s.power,
                                                feats)
 
         live = s.alive & attrs.valid
@@ -167,7 +168,8 @@ def measurement_pass(scene: Scene, key, pixel_ids, width, height, max_depth,
         k = jax.random.fold_in(k_walk, s.bounce)
         attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min, intersector,
                                      alive=s.alive)
-        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
+        sc = mat_ops.scatter(scene, jax.random.uniform(
+            k, (3, s.d.shape[0])), s.d, attrs, feats)
         live = s.alive & attrs.valid
         diffuse_now = live & (sc.interaction == INTER_DIFFUSE)
         if feats is not None:
@@ -520,7 +522,8 @@ def gather_walk(scene: Scene, o, d, est_rep, k_walk, *, max_depth, t_min,
         k = jax.random.fold_in(k_walk, s.bounce)
         attrs, feats = hit_and_attrs(scene, k, s.o, s.d, t_min,
                                      intersector, alive=s.alive)
-        sc = mat_ops.scatter(scene, k, s.d, attrs, feats)
+        sc = mat_ops.scatter(scene, jax.random.uniform(
+            k, (3, s.d.shape[0])), s.d, attrs, feats)
         live = s.alive & attrs.valid
         # Le at every hit (photon_mapper.rs:341)
         radiance = s.radiance + jnp.where(

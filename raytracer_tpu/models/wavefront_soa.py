@@ -55,6 +55,38 @@ def _uniform_sphere(key, n):
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
+def _sphere_from(u1, u2):
+    """Uniform sphere point from two prepared uniforms (rows of the
+    per-step batched draw; same z/phi construction as _uniform_sphere)."""
+    z = 1.0 - 2.0 * u1
+    phi = TWO_PI * u2
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+# Per-bounce-step RNG: ONE jax.random.uniform(fold_in(key, step), (R, n))
+# call replaces the 11 separate threefry draws the step used to make
+# (measured 1.64 -> ~0.3 ms/step at 480k lanes on v5e — each jax.random
+# call pays fixed fusion/dispatch overhead; the bits themselves are cheap).
+# Material kinds are exclusive per lane, so ONE unit-sphere pair (rows
+# 0-1) is shared by the diffuse bounce, the metal fuzz offset, and the
+# isotropic phase draw. Row layout (all consumers index with these):
+U_SPH1, U_SPH2, U_DIEL, U_RR = 0, 1, 2, 3
+U_TRACE_ROWS = 4                    # trace-only loops stop here
+U_JX, U_JY, U_LR, U_LPHI = 4, 5, 6, 7   # regen respawn camera rows
+U_REGEN_ROWS = 8                    # +1 row (shutter time) when moving
+U_TIME = 8
+
+
+def _uni_rows(rng, rows: int, n: int):
+    """Accept either a PRNG key (draw (rows, n) uniforms here — still one
+    batched call) or an already-drawn (>=rows, n) f32 matrix (hot loops
+    pass one per-step draw through every consumer)."""
+    if hasattr(rng, "dtype") and rng.dtype == jnp.float32:
+        return rng
+    return jax.random.uniform(rng, (rows, n))
+
+
 class HitSoA(NamedTuple):
     """hit_attributes as (N,) components (hit.rs:24-30 semantics)."""
     valid: jnp.ndarray
@@ -200,16 +232,19 @@ class ScatterSoA(NamedTuple):
     eb: jnp.ndarray
 
 
-def scatter_soa(scene: Scene, key, dx, dy, dz, h: HitSoA,
+def scatter_soa(scene: Scene, rng, dx, dy, dz, h: HitSoA,
                 f: FeatSoA) -> ScatterSoA:
     """materials.scatter, component-wise, stream-identical draws
-    (material.rs:92-212 semantics; same keys/shapes as ops/materials.py)."""
+    (material.rs:92-212 semantics; same uniforms as ops/materials.py).
+    ``rng``: PRNG key or prepared (>=3, n) uniform rows (see U_SPH1...)."""
     n = dx.shape[0]
-    k_diff, k_metal, k_diel, _k_iso = jax.random.split(key, 4)
+    uni = _uni_rows(rng, 3, n)
     alr, alg, alb = eval_texture_soa(scene, f, h)
 
-    # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard
-    sx, sy, sz = _uniform_sphere(k_diff, n)
+    # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard. The
+    # sphere pair is SHARED with the metal fuzz draw below — kinds are
+    # exclusive per lane, so each lane consumes it once.
+    sx, sy, sz = _sphere_from(uni[U_SPH1], uni[U_SPH2])
     ldx, ldy, ldz = h.nx + sx, h.ny + sy, h.nz + sz
     small = (ldx * ldx + ldy * ldy + ldz * ldz) < 1e-16
     ldx = jnp.where(small, h.nx, ldx)
@@ -222,10 +257,9 @@ def scatter_soa(scene: Scene, key, dx, dy, dz, h: HitSoA,
     rfx = ux - 2.0 * dn * h.nx
     rfy = uy - 2.0 * dn * h.ny
     rfz = uz - 2.0 * dn * h.nz
-    mx, my, mz = _uniform_sphere(k_metal, n)
-    mdx = rfx + f.fuzz * mx
-    mdy = rfy + f.fuzz * my
-    mdz = rfz + f.fuzz * mz
+    mdx = rfx + f.fuzz * sx
+    mdy = rfy + f.fuzz * sy
+    mdz = rfz + f.fuzz * sz
     metal_ok = (mdx * h.nx + mdy * h.ny + mdz * h.nz) > 0.0
 
     # Dielectric: Schlick + TIR + stochastic reflect/refract
@@ -235,7 +269,7 @@ def scatter_soa(scene: Scene, key, dx, dy, dz, h: HitSoA,
     cannot = ratio * sin_t > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     refl = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-    do_refl = cannot | (refl > jax.random.uniform(k_diel, (n,)))
+    do_refl = cannot | (refl > uni[U_DIEL])
     ppx = ratio * (ux + cos_t * h.nx)
     ppy = ratio * (uy + cos_t * h.ny)
     ppz = ratio * (uz + cos_t * h.nz)
@@ -274,21 +308,6 @@ def scatter_soa(scene: Scene, key, dx, dy, dz, h: HitSoA,
 
 
 RR_START_BOUNCE = 3
-
-
-def scatter_uniforms(key, n: int):
-    """The five uniforms scatter_soa draws, with its EXACT threefry splits
-    (k_diff/k_metal/k_diel out of split(key, 4), sub-splits inside
-    _uniform_sphere) — feeding these into the fused bounce kernel makes it
-    stream-identical to the unfused path. (5, N) rows (the kernel's
-    rays-on-lanes layout)."""
-    k_diff, k_metal, k_diel, _k_iso = jax.random.split(key, 4)
-    kd1, kd2 = jax.random.split(k_diff)
-    km1, km2 = jax.random.split(k_metal)
-    return jnp.stack([
-        jax.random.uniform(kd1, (n,)), jax.random.uniform(kd2, (n,)),
-        jax.random.uniform(km1, (n,)), jax.random.uniform(km2, (n,)),
-        jax.random.uniform(k_diel, (n,))], axis=0)
 
 
 class Bounce(NamedTuple):
@@ -358,20 +377,22 @@ def use_fused(scene: Scene, intersector: str) -> bool:
     return intersector == "pallas" and bounce_fused_eligible(scene)
 
 
-def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
+def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
                 t_min: float, spawn_eps, intersector: str,
                 fused: bool, time=None) -> Bounce:
     """Advance one bounce: intersect + attrs + texture + scatter. The fused
     path runs everything inside one pallas call (ops/pallas_intersect.
     _bounce_kernel); the unfused path is the original attrs_soa +
-    scatter_soa XLA stage. Both produce stream-identical results (the fused
-    kernel receives scatter_uniforms(k) drawn with scatter_soa's splits)."""
+    scatter_soa XLA stage. Both consume the SAME uniform rows (``rng``:
+    PRNG key or prepared (>=3, n) rows), so they are stream-identical by
+    construction."""
     n = ox.shape[0]
+    uni = _uni_rows(rng, 3, n)
     if fused:
         from raytracer_tpu.ops.pallas_intersect import bounce_fused
         eps = jnp.broadcast_to(
             jnp.asarray(spawn_eps, jnp.float32), (n,))[None]
-        uni_t = jnp.concatenate([scatter_uniforms(k, n), eps], axis=0)
+        uni_t = jnp.concatenate([uni[:3], eps], axis=0)
         o3t = jnp.stack([ox, oy, oz], 0)
         d3t = jnp.stack([dx, dy, dz], 0)
         inter, no3, nd3, att, emit, p3, n3 = bounce_fused(
@@ -395,7 +416,7 @@ def bounce_step(scene: Scene, k, ox, oy, oz, dx, dy, dz, alive, *,
         t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf, alive=alive,
                                  time=time)
     h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
-    sc = scatter_soa(scene, k, dx, dy, dz, h, f)
+    sc = scatter_soa(scene, uni, dx, dy, dz, h, f)
     side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
     return Bounce(sc.interaction,
                   sc.ar, sc.ag, sc.ab, sc.er, sc.eg, sc.eb,
@@ -428,7 +449,8 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
         (step, ox, oy, oz, dx, dy, dz, tr, tg, tb,
          rr_, rg_, rb_, prev_diff, alive, rays) = s
         k = jax.random.fold_in(key, step)
-        b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+        U = jax.random.uniform(k, (U_TRACE_ROWS, n))
+        b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
                         intersector=intersector, fused=fused, time=time)
 
@@ -459,7 +481,7 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
             p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
                               0.05, 1.0)
             do_rr = step >= RR_START_BOUNCE
-            u = jax.random.uniform(jax.random.fold_in(k, 37), (n,))
+            u = U[U_RR]
             survive = ~do_rr | (u < p_surv)
             scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
             tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
@@ -490,18 +512,25 @@ def _leaf_run(scene, o3, d3, t_min, alive):
     return pallas_bvh._run(scene, o3, d3, t_min, jnp.inf, alive)
 
 
-def camera_rays_soa(cam, key, px, py, width: int, height: int):
+def camera_rays_soa(cam, key, px, py, width: int, height: int, uni=None):
     """Component-wise models/camera.py::camera_rays (camera.rs:57-64 +
     the jitter/y-flip of camera.rs:97-99): same draws, no (N,3) stacks.
-    ``px, py`` are (N,) f32 pixel coordinates. Returns 6 (N,) components."""
-    k_jx, k_jy, k_lens = jax.random.split(key, 3)
+    ``px, py`` are (N,) f32 pixel coordinates. Returns 6 (N,) components.
+    ``uni``: optional 4 prepared uniform rows (jx, jy, lens_r, lens_phi) —
+    the regen loops pass slices of their per-step batched draw instead of
+    paying 4 separate threefry calls per respawn."""
     n = px.shape[0]
-    u = (px + jax.random.uniform(k_jx, (n,))) / (width - 1)
-    v = (py + jax.random.uniform(k_jy, (n,))) / (height - 1)
+    if uni is None:
+        k_jx, k_jy, k_lens = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(k_lens)
+        uni = jnp.stack([
+            jax.random.uniform(k_jx, (n,)), jax.random.uniform(k_jy, (n,)),
+            jax.random.uniform(k1, (n,)), jax.random.uniform(k2, (n,))], 0)
+    u = (px + uni[0]) / (width - 1)
+    v = (py + uni[1]) / (height - 1)
     t = 1.0 - v  # y axis is reverted (camera.rs:99)
-    k1, k2 = jax.random.split(k_lens)
-    r = jnp.sqrt(jax.random.uniform(k1, (n,))) * cam.lens_radius
-    phi = TWO_PI * jax.random.uniform(k2, (n,))
+    r = jnp.sqrt(uni[2]) * cam.lens_radius
+    phi = TWO_PI * uni[3]
     rdx = r * jnp.cos(phi)
     rdy = r * jnp.sin(phi)
     ox = cam.origin[0] + cam.u[0] * rdx + cam.v[0] * rdy
@@ -608,7 +637,9 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
              ar, ag, ab, alive, depth, done, prev_diff, rays) = s[:21]
             time = s[21] if motion else None
             k = jax.random.fold_in(key, step)
-            b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+            U = jax.random.uniform(
+                k, (U_REGEN_ROWS + (1 if motion else 0), nl))
+            b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
                             intersector=intersector, fused=fused,
                             time=time)
@@ -639,7 +670,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                 p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
                                   0.05, 1.0)
                 do_rr = depth >= RR_START_BOUNCE  # per-lane sample depth
-                u = jax.random.uniform(jax.random.fold_in(k, 37), (nl,))
+                u = U[U_RR]
                 survive = ~do_rr | (u < p_surv)
                 scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
                 tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
@@ -654,10 +685,9 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             done2 = done + retire.astype(jnp.int32)
             regen = retire & (done2 < quota)
 
-            spawn_k = jax.random.fold_in(jax.random.fold_in(key, 7),
-                                         step + 1)
             cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
-                scene.camera, spawn_k, px_, py_, width, height)
+                scene.camera, None, px_, py_, width, height,
+                uni=U[U_JX:U_LPHI + 1])
             ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
             oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
             oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
@@ -677,8 +707,9 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                    sr2, sg2, sb2, ar, ag, ab, alive2, depth3, done2, prev2,
                    rays + jnp.sum(alive))
             if motion:
-                out = out + (jnp.where(regen, spawn_times(spawn_k, nl),
-                                       time),)
+                cam = scene.camera
+                t_new = cam.time0 + U[U_TIME] * (cam.time1 - cam.time0)
+                out = out + (jnp.where(regen, t_new, time),)
             return out
         return body
 
@@ -766,11 +797,14 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
     quota = jnp.int32(samples_per_lane)
 
     def make_body(px_, py_, er_, eg_, eb_):
+        nl_ = px_.shape[0]
+
         def body(s):
             (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
              ar, ag, ab, alive, depth, done, rays) = s
-            k = jax.random.fold_in(key, step)
-            b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
+            U = jax.random.uniform(jax.random.fold_in(key, step),
+                                   (U_REGEN_ROWS, nl_))
+            b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
                             intersector=intersector, fused=fused)
             sr = sr + jnp.where(alive, tr * b.er, 0.0)
@@ -795,9 +829,8 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
             regen = retire & (done2 < quota)
 
             cox, coy, coz, cdx, cdy, cdz = camera_rays_soa(
-                scene.camera, jax.random.fold_in(jax.random.fold_in(key, 17),
-                                                 step + 1),
-                px_, py_, width, height)
+                scene.camera, None, px_, py_, width, height,
+                uni=U[U_JX:U_LPHI + 1])
             ox2 = jnp.where(regen, cox, jnp.where(cont, b.nox, ox))
             oy2 = jnp.where(regen, coy, jnp.where(cont, b.noy, oy))
             oz2 = jnp.where(regen, coz, jnp.where(cont, b.noz, oz))
@@ -1081,15 +1114,16 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
     def step(s, _):
         (step_i, ox, oy, oz, dx, dy, dz, wr, wg, wb,
          alive, has_spec, has_diff, depth, counter) = s
-        k = jax.random.fold_in(jax.random.fold_in(key, 13), step_i)
-        k_scatter, k_rr = jax.random.split(k)
-        b = bounce_step(scene, k_scatter, ox, oy, oz, dx, dy, dz, alive,
+        U = jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(key, 13), step_i),
+            (U_TRACE_ROWS, L))
+        b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
                         intersector=intersector, fused=fused)
         # photon Russian roulette with power renormalization
         # (material.rs:27-45)
         hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))
-        survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
+        survive = U[U_RR] <= hmax
         inter = jnp.where(survive, b.inter, INTER_ABSORB).astype(jnp.int32)
         inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
 
@@ -1163,17 +1197,16 @@ def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
     def step(s, _):
         (ox, oy, oz, dx, dy, dz, wr, wg, wb,
          alive, has_spec, has_diff, b_) = s
-        k = jax.random.fold_in(jax.random.fold_in(key, 13), b_)
-        # scatter_photon_soa's split structure: scatter draws from
-        # k_scatter, the RR survival draw from k_rr
-        k_scatter, k_rr = jax.random.split(k)
-        b = bounce_step(scene, k_scatter, ox, oy, oz, dx, dy, dz, alive,
+        U = jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(key, 13), b_),
+            (U_TRACE_ROWS, n_photons))
+        b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
                         intersector=intersector, fused=fused)
         # photon Russian roulette with power renormalization
         # (material.rs:27-45)
         hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))
-        survive = jax.random.uniform(k_rr, hmax.shape) <= hmax
+        survive = U[U_RR] <= hmax
         inter = jnp.where(survive, b.inter, INTER_ABSORB).astype(jnp.int32)
         inv_h = 1.0 / jnp.maximum(hmax, 1e-12)
         pr = jnp.where(survive, b.ar * inv_h, 1.0)

@@ -179,10 +179,21 @@ def emitted(scene: Scene, attrs: HitAttrs):
     return jnp.where((is_light & attrs.valid)[..., None], e, 0.0)
 
 
-def scatter(scene: Scene, key, d_in, attrs: HitAttrs,
+def _uni3(rng, n):
+    """PRNG key -> one batched (3, n) uniform draw; prepared (>=3, n) rows
+    pass through (models/wavefront_soa.py row layout U_SPH1/U_SPH2/U_DIEL).
+    Material kinds are exclusive per lane, so the single unit-sphere pair
+    (rows 0-1) serves the diffuse, metal-fuzz, AND isotropic draws."""
+    if hasattr(rng, "dtype") and rng.dtype == jnp.float32:
+        return rng
+    return jax.random.uniform(rng, (3, n))
+
+
+def scatter(scene: Scene, rng, d_in, attrs: HitAttrs,
             feats: "MatFeatures" = None) -> Scatter:
     """Batched Material::scatter over all kinds with where-select. ``feats``
-    (from the pallas kernel's winner extraction) skips the table fetch."""
+    (from the pallas kernel's winner extraction) skips the table fetch.
+    ``rng``: PRNG key or prepared (>=3, n) uniform rows."""
     m = scene.materials
     if m.kind.shape[0] == 0:  # empty scene: every lane absorbs (static)
         n = d_in.shape[0]
@@ -192,17 +203,20 @@ def scatter(scene: Scene, key, d_in, attrs: HitAttrs,
     kind = f.kind
     normal = attrs.normal
     n = d_in.shape[0]
-    k_diff, k_metal, k_diel, k_iso = jax.random.split(key, 4)
+    uni = _uni3(rng, n)
+    sph = sampling.uniform_sphere_from(uni[0], uni[1])
 
     albedo = eval_texture_from(scene, f, attrs.p, attrs.uv)
 
     # Lambertian / DiffuseLight scatter dir (material.rs:92-98)
-    diff_dir = sampling.lambertian_dir(k_diff, normal)
+    diff_dir = normal + sph
+    diff_dir = jnp.where(vec.near_zero(diff_dir)[..., None],
+                         normal, diff_dir)
 
     # Metal (material.rs:130-138)
     unit_d = vec.unit(d_in)
     refl = vec.reflect(unit_d, normal)
-    metal_dir = refl + f.fuzz[:, None] * sampling.uniform_sphere(k_metal, (n,))
+    metal_dir = refl + f.fuzz[:, None] * sph
     metal_ok = vec.dot(metal_dir, normal) > 0.0
 
     # Dielectric (material.rs:161-187)
@@ -213,12 +227,13 @@ def scatter(scene: Scene, key, d_in, attrs: HitAttrs,
     cannot_refract = ratio * sin_theta > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5    # material.rs:150-154
-    do_reflect = cannot_refract | (reflectance > jax.random.uniform(k_diel, (n,)))
+    do_reflect = cannot_refract | (reflectance > uni[2])
     diel_dir = jnp.where(do_reflect[:, None],
                          refl, vec.refract(unit_d, normal, ratio))
 
-    # Isotropic (volume phase function)
-    iso_dir = sampling.uniform_sphere(k_iso, (n,))
+    # Isotropic (volume phase function; shares the sphere pair — kinds
+    # are exclusive per lane)
+    iso_dir = sph
 
     is_lam = kind == MAT_LAMBERTIAN
     is_metal = kind == MAT_METAL
@@ -244,14 +259,18 @@ def scatter(scene: Scene, key, d_in, attrs: HitAttrs,
     return Scatter(interaction, direction, attenuation, le)
 
 
-def scatter_photon(scene: Scene, key, d_in, attrs: HitAttrs, power,
+def scatter_photon(scene: Scene, rng, d_in, attrs: HitAttrs, power,
                    feats: "MatFeatures" = None):
     """Photon bounce with Russian roulette (material.rs:27-45): survival
-    probability h = max(f); surviving photons carry power * f / h."""
-    k_scatter, k_rr = jax.random.split(key)
-    s = scatter(scene, k_scatter, d_in, attrs, feats)
+    probability h = max(f); surviving photons carry power * f / h.
+    ``rng``: PRNG key or prepared (>=4, n) uniform rows (row 3 = RR)."""
+    if hasattr(rng, "dtype") and rng.dtype == jnp.float32:
+        uni = rng
+    else:
+        uni = jax.random.uniform(rng, (4, d_in.shape[0]))
+    s = scatter(scene, uni[:3], d_in, attrs, feats)
     h = jnp.max(s.attenuation, axis=-1)
-    survive = jax.random.uniform(k_rr, h.shape) <= h
+    survive = uni[3] <= h
     interaction = jnp.where(survive, s.interaction, INTER_ABSORB)
     new_power = power * s.attenuation / jnp.maximum(h, 1e-12)[:, None]
     new_power = jnp.where(survive[:, None], new_power, power)

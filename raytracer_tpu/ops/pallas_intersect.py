@@ -1468,9 +1468,9 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
     cost TILE/128 = 2 vregs each (~16x less), which is why the fused
     bounce is now the default path (see wavefront_soa.use_fused).
 
-    The five scatter uniforms arrive in ``uni_ref`` rows 0-4 (drawn
-    OUTSIDE with the exact threefry splits of scatter_soa, so results are
-    stream-identical to the unfused path); row 5 carries spawn_eps.
+    The scatter uniforms arrive in ``uni_ref`` rows 0-2 (the SAME rows
+    of the per-step batched draw that scatter_soa consumes, so results
+    are stream-identical to the unfused path); row 3 carries spawn_eps.
     Image/noise textures need HBM gathers and are excluded by the
     wrapper's eligibility check (constant/checker only). Motion scenes:
     the winner's velocity sits in slots 4..6 and folds into the sphere
@@ -1537,16 +1537,20 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
     u0 = uni_ref[0:1, :]
     u1 = uni_ref[1:2, :]
     u2 = uni_ref[2:3, :]
-    u3 = uni_ref[3:4, :]
-    u4 = uni_ref[4:5, :]
-    eps = uni_ref[5:6, :]
+    eps = uni_ref[3:4, :]
 
-    # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard
+    # ONE unit-sphere draw (rows 0-1) shared by the diffuse bounce and the
+    # metal fuzz offset — material kinds are exclusive per lane (same
+    # convention as scatter_soa / materials.scatter)
     z = 1.0 - 2.0 * u0
     phi = TWO_PI * u1
     rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    ldx = nx + rs * jnp.cos(phi)
-    ldy = ny + rs * jnp.sin(phi)
+    sx = rs * jnp.cos(phi)
+    sy = rs * jnp.sin(phi)
+
+    # Lambertian / DiffuseLight: n + unit_sphere, near-zero guard
+    ldx = nx + sx
+    ldy = ny + sy
     ldz = nz + z
     small = (ldx * ldx + ldy * ldy + ldz * ldz) < 1e-16
     ldx = jnp.where(small, nx, ldx)
@@ -1559,12 +1563,9 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
     rfx = ux - 2.0 * dn * nx
     rfy = uy - 2.0 * dn * ny
     rfz = uz - 2.0 * dn * nz
-    zm = 1.0 - 2.0 * u2
-    phm = TWO_PI * u3
-    rm = jnp.sqrt(jnp.maximum(0.0, 1.0 - zm * zm))
-    mdx = rfx + fuzz * rm * jnp.cos(phm)
-    mdy = rfy + fuzz * rm * jnp.sin(phm)
-    mdz = rfz + fuzz * zm
+    mdx = rfx + fuzz * sx
+    mdy = rfy + fuzz * sy
+    mdz = rfz + fuzz * z
     metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
 
     # Dielectric: Schlick + TIR + stochastic reflect/refract
@@ -1574,7 +1575,7 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
     cannot = ratio * sin_t > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     refl = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-    do_refl = cannot | (refl > u4)
+    do_refl = cannot | (refl > u2)
     ppx = ratio * (ux + cos_t * nx)
     ppy = ratio * (uy + cos_t * ny)
     ppz = ratio * (uz + cos_t * nz)
@@ -1668,7 +1669,7 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
                  scull, tscull, *, n_sph, n_rect, n_tri, interpret,
                  time=None):
     """Fused-bounce pallas call. Transposed operands throughout: ``o_t``/
-    ``d_t`` (3, N), ``uni_t`` (6, N); outputs (3, N) rows + (1, N) inter.
+    ``d_t`` (3, N), ``uni_t`` (4, N); outputs (3, N) rows + (1, N) inter.
     Takes the same per-tile ordered walk as the closest-hit kernel when a
     stage qualifies (_order_flags)."""
     n = o_t.shape[1]
@@ -1759,9 +1760,10 @@ def bounce_fused_eligible(scene: Scene) -> bool:
 def bounce_fused(scene: Scene, o_t, d_t, t_min, alive, uni_t, time=None):
     """One fused bounce: intersect + attrs + texture + scatter in a single
     pallas call. TRANSPOSED interface (rays on the lane axis end to end):
-    ``o_t``/``d_t`` are (3, N); ``uni_t`` is (6, N) — the five scatter
+    ``o_t``/``d_t`` are (3, N); ``uni_t`` is (4, N) — the three scatter
     uniforms (drawn with scatter_soa's exact threefry splits, see
-    wavefront_soa.scatter_uniforms) plus spawn_eps in row 5. ``time``
+    rows of the caller's per-step batched draw; wavefront_soa U_SPH1/
+    U_SPH2/U_DIEL) plus spawn_eps in row 3. ``time``
     (N,) enables motion blur on moving-sphere scenes. Returns
     (inter (N,) i32, new_o (3,N), new_d (3,N), att (3,N), emit (3,N),
     p (3,N), n (3,N))."""

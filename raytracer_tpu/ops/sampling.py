@@ -34,6 +34,15 @@ def uniform_sphere(key, shape=()):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
+def uniform_sphere_from(u1, u2):
+    """uniform_sphere from two prepared uniforms (rows of a batched
+    per-step draw; same z/phi construction). (N,) uniforms -> (N, 3)."""
+    z = 1.0 - 2.0 * u1
+    phi = TWO_PI * u2
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
 def uniform_hemisphere(key, normal):
     """Uniform sphere dir flipped into the hemisphere around ``normal``.
     vec3.rs:144-151."""

@@ -318,15 +318,22 @@ def trace_photons(scene, rng, n, max_bounces):
         t, p, nrm, front, mid, valid = intersect(sc, o, d, t_min=1e-4)
         inter, ndir, atten, _ = scatter(sc, rng, d, p, nrm, front, mid, valid)
         live = alive & valid
+        # Reference RR order (material.rs:34-41): scatter_photon applies
+        # Russian roulette FIRST and returns Absorb on failure, so an
+        # RR-killed photon deposits NOTHING even at a diffuse hit (the
+        # photon walk, photon_mapper.rs:244-256, breaks on Absorb before
+        # pushing). This oracle originally deposited pre-RR — that
+        # overcounted deposit flux by ~(1-mean albedo) ~ 25% on Cornell.
+        h = atten.max(1)
+        surv = rng.random(n) < h
+        inter = np.where(surv, inter, ABSORB)
         dep = live & (inter == DIFFUSE)
         P.append(p[dep])
         W.append(power[dep])
         NRM.append(nrm[dep])
         CAU.append((has_spec & ~has_diff)[dep])
         # RR continuation with power renormalization
-        h = atten.max(1)
-        surv = rng.random(n) < h
-        cont = live & (inter != ABSORB) & surv
+        cont = live & (inter != ABSORB)
         power = np.where(cont[:, None],
                          power * atten / np.maximum(h, 1e-12)[:, None], power)
         spec_now = cont & ~dep

@@ -55,12 +55,22 @@ def test_sppm_parity_cornell():
     alpha-recursion, and the final gather."""
     from raytracer_tpu.models import sppm
     from raytracer_tpu.utils.config import RenderConfig, SPPMConfig
+    from raytracer_tpu.ops import photon_grid as pg
     scene = cornell_box(with_mesh=False)
     W = H = 20
     iters, nph, spp = 3, 12000, 8
+    # run the oracle with the PRODUCTION radius init (capped density) so
+    # the comparison isolates the transport chain; the init schemes' own
+    # deviation is measured separately by test_knn_init_vs_density_init.
+    # (With init="knn" this test sat exactly on its band edge: production
+    # ~24% below the kNN oracle, band 25% — any benign stream change
+    # flipped it.)
+    _, r0 = pg.choose_grid_resolution(
+        scene.bounds_min, scene.bounds_max, nph, 100)
     img_o = oracle_np.sppm_render(scene, W, H, n_iters=iters,
                                   photons_per_iter=nph, spp=spp,
-                                  max_depth=10, seed=1, init="knn")
+                                  max_depth=10, seed=1, init="density",
+                                  init_cap=r0)
     cfg = RenderConfig(
         width=W, height=H, samples_per_pixel=spp, max_depth=10, spp_chunk=4,
         sppm=SPPMConfig(n_iterations=iters, photons_per_iter=nph,
@@ -69,8 +79,7 @@ def test_sppm_parity_cornell():
     img_j = np.asarray(img_j)
     m_o = img_o[3:17, 3:17].mean()
     m_j = img_j[3:17, 3:17].mean()
-    # SPPM estimates at this scale carry ~10% MC noise; the init schemes
-    # also differ (measured below) — band accordingly
+    # SPPM estimates at this scale carry ~10% MC noise — band accordingly
     np.testing.assert_allclose(m_j, m_o, rtol=0.25)
 
 

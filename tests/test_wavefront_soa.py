@@ -127,7 +127,7 @@ def test_soa_image_texture_scene():
 
 def test_fused_bounce_matches_unfused():
     """The fused bounce megakernel (intersect+attrs+texture+scatter in one
-    pallas call, fed scatter_uniforms) must match the unfused
+    pallas call, fed the same uniform rows) must match the unfused
     attrs_soa+scatter_soa stage bit-for-bit up to FP association — the
     uniforms come from identical threefry splits."""
     from raytracer_tpu.models.wavefront_soa import bounce_step
