@@ -631,7 +631,60 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
         return cam.time0 + jax.random.uniform(
             jax.random.fold_in(k, 13), (nl,)) * (cam.time1 - cam.time0)
 
+    import os
+    regen_fused = (fused and not nee
+                   and os.environ.get("RAYTRACER_TPU_REGEN_FUSED") == "1")
+
     def make_body(px_, py_, nl):
+        if regen_fused:
+            # Megakernel v2: the entire loop body in one pallas call — the
+            # XLA side only draws the step uniforms and sums the rays
+            # metric (pallas_intersect._regen_epilogue). Built on the
+            # theory that the ~2 ms/step of XLA bookkeeping (r4 profile)
+            # was real wall-clock; measured OFF on v5e — the XLA body is
+            # 1-3% FASTER everywhere (experiments/regen_megakernel_bench:
+            # scene_500 noRR 53.0 vs 51.5 Mrays/s, RR 53.5 vs 52.7;
+            # scene_10 RR 92.0 vs 88.9; cornell RR 68.2 vs 67.3). XLA
+            # overlaps/fuses the bookkeeping into the step at ~zero cost,
+            # while the megakernel pays wider VMEM I/O (13 ray-state
+            # inputs + 8 outputs vs 5+7). Kept opt-in
+            # (RAYTRACER_TPU_REGEN_FUSED=1), pinned by
+            # test_regen_megakernel_matches_xla_body.
+            from raytracer_tpu.ops.pallas_intersect import regen_step_fused
+
+            def body(s):
+                (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
+                 ar, ag, ab, alive, depth, done, prev_diff, rays) = s[:21]
+                time = s[21] if motion else None
+                k = jax.random.fold_in(key, step)
+                U = jax.random.uniform(
+                    k, (U_REGEN_ROWS + (1 if motion else 0), nl))
+                eps_row = jnp.broadcast_to(
+                    jnp.asarray(spawn_eps, jnp.float32), (nl,))[None]
+                uni2 = jnp.concatenate([U[:3], eps_row, U[3:]], axis=0)
+                outs = regen_step_fused(
+                    scene, jnp.stack([ox, oy, oz], 0),
+                    jnp.stack([dx, dy, dz], 0), t_min,
+                    alive.astype(jnp.float32), uni2, px_, py_,
+                    jnp.stack([tr, tg, tb], 0), jnp.stack([sr, sg, sb], 0),
+                    jnp.stack([ar, ag, ab], 0), depth.astype(jnp.float32),
+                    done.astype(jnp.float32), width=width, height=height,
+                    quota=samples_per_lane, max_depth=max_depth,
+                    rr_on=russian_roulette, rr_start=RR_START_BOUNCE,
+                    time=time)
+                o3, d3, tput3, samp3, acc3, alive2, depth2, done2 = outs[:8]
+                out = (step + 1, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2],
+                       tput3[0], tput3[1], tput3[2],
+                       samp3[0], samp3[1], samp3[2],
+                       acc3[0], acc3[1], acc3[2], alive2[0] > 0.0,
+                       depth2[0].astype(jnp.int32),
+                       done2[0].astype(jnp.int32), prev_diff,
+                       rays + jnp.sum(alive))
+                if motion:
+                    out = out + (outs[8][0],)
+                return out
+            return body
+
         def body(s):
             (step, ox, oy, oz, dx, dy, dz, tr, tg, tb, sr, sg, sb,
              ar, ag, ab, alive, depth, done, prev_diff, rays) = s[:21]

@@ -74,7 +74,11 @@ from raytracer_tpu.scene.types import (
     MAT_METAL, PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, Scene, TEX_CHECKER,
 )
 
-TILE = 256
+TILE = 512   # rays per kernel instance. Round-3's column layout measured
+# 256 > 512 (cull granularity); the round-4 row layout + cheap per-chunk
+# fixed costs flipped it — v5e, tile_width_bench: scene_500 noRR 43.7 ->
+# 53.2 Mrays/s, RR 45.1 -> 54.1, raw 960k cast 130.8 -> 91.5 ms; field64k
+# ordered walk 6.63 -> 6.06 s per 32spp (means identical).
 CHUNK = 512        # rect/tri chunk width
 # Sphere chunk width. Finer chunks enable more selective per-chunk AABB
 # culling but add per-chunk fixed costs (reductions, extraction). Round 3's
@@ -1458,8 +1462,7 @@ def _build_order_operands(o_t, alive, cull, scull, tcull, tscull, *,
             sph_cfg, tri_cfg)
 
 
-def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
-                     emit_ref, p_ref, n_ref, inter_ref):
+def _bounce_values(rv: RayVals, carry, uni_ref):
     """In-VMEM hit attributes + texture + scatter on the folded winner —
     the (1,T)-ROW twin of wavefront_soa.attrs_soa + scatter_soa
     (hit.rs:24-30, material.rs:92-212). Round 3 built this epilogue on
@@ -1612,8 +1615,16 @@ def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
     eb = jnp.where(lit, alb, 0.0)
 
     side = jnp.sign(odx * nx + ody * ny + odz * nz) * eps
-    no_ref[:] = jnp.concatenate(
-        [px + nx * side, py + ny * side, pz + nz * side], axis=0)
+    return (inter, px + nx * side, py + ny * side, pz + nz * side,
+            odx, ody, odz, ar, ag, ab, er, eg, eb, px, py, pz, nx, ny, nz)
+
+
+def _bounce_epilogue(rv: RayVals, carry, uni_ref, no_ref, nd_ref, att_ref,
+                     emit_ref, p_ref, n_ref, inter_ref):
+    """_bounce_values + ref writes (the plain fused-bounce kernel body)."""
+    (inter, nox_, noy_, noz_, odx, ody, odz, ar, ag, ab, er, eg, eb,
+     px, py, pz, nx, ny, nz) = _bounce_values(rv, carry, uni_ref)
+    no_ref[:] = jnp.concatenate([nox_, noy_, noz_], axis=0)
     nd_ref[:] = jnp.concatenate([odx, ody, odz], axis=0)
     att_ref[:] = jnp.concatenate([ar, ag, ab], axis=0)
     emit_ref[:] = jnp.concatenate([er, eg, eb], axis=0)
@@ -1661,6 +1672,282 @@ def _bounce_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
 
 
 _BOUNCE_OUT_WIDTHS = (3, 3, 3, 3, 3, 3, 1)   # no, nd, att, emit, p, n, inter
+
+
+# --------------------------------------------------------------------------
+# Megakernel v2: the ENTIRE regen-loop body in one pallas call. On top of
+# the fused bounce (intersect + attrs + texture + scatter), the kernel also
+# runs the per-step bookkeeping the XLA side used to do — emission
+# accumulation, throughput update, Russian roulette, retire/quota
+# accounting, and the camera-ray respawn of retired lanes — so the
+# while_loop body outside reduces to one uniform draw + this call.
+# Measured motivation (experiments/step_profile.py, 480k lanes, v5e): the
+# XLA bookkeeping cost ~2.0 ms of the 7.36 ms step.
+#
+# uni2 rows: 0 sph1, 1 sph2, 2 diel (the scatter rows _bounce_values
+# reads), 3 spawn_eps, 4 RR, 5 jitter-x, 6 jitter-y, 7 lens-r, 8 lens-phi,
+# 9 shutter-time (motion only). cam is a (32, 1) VMEM column: [0:3 origin,
+# 3:6 u, 6:9 v, 9:12 lower_left, 12:15 horizontal, 15:18 vertical,
+# 18 lens_radius, 19 time0, 20 time1].
+
+def _regen_epilogue(rv: RayVals, carry, uni_ref, cam_ref, px_ref, py_ref,
+                    tput_ref, samp_ref, accum_ref, depth_ref, done_ref,
+                    alive_vec, time_ref, o_out, d_out, tput_out, samp_out,
+                    accum_out, alive_out, depth_out, done_out, time_out, *,
+                    width: int, height: int, quota: int, max_depth: int,
+                    rr_on: bool, rr_start: int):
+    (inter, nox_, noy_, noz_, odx, ody, odz, ar, ag, ab, er, eg, eb,
+     _px, _py, _pz, _nx, _ny, _nz) = _bounce_values(rv, carry, uni_ref)
+    row = lambda ref, i: ref[i:i + 1, :]
+    a = alive_vec > 0.0
+    tr, tg, tb = row(tput_ref, 0), row(tput_ref, 1), row(tput_ref, 2)
+    sr, sg, sb = row(samp_ref, 0), row(samp_ref, 1), row(samp_ref, 2)
+    acr, acg, acb = row(accum_ref, 0), row(accum_ref, 1), row(accum_ref, 2)
+    depth = depth_ref[:]
+    done = done_ref[:]
+
+    # emission (non-NEE regen loop: emit_ok == alive; er is miss-masked)
+    sr = sr + jnp.where(a, tr * er, 0.0)
+    sg = sg + jnp.where(a, tg * eg, 0.0)
+    sb = sb + jnp.where(a, tb * eb, 0.0)
+
+    cont = a & (inter != float(INTER_ABSORB))
+    tr2 = jnp.where(cont, tr * ar, tr)
+    tg2 = jnp.where(cont, tg * ag, tg)
+    tb2 = jnp.where(cont, tb * ab, tb)
+    if rr_on:
+        p_surv = jnp.clip(jnp.maximum(tr2, jnp.maximum(tg2, tb2)),
+                          0.05, 1.0)
+        do_rr = depth >= float(rr_start)
+        survive = (~do_rr) | (row(uni_ref, 4) < p_surv)
+        scale = jnp.where(do_rr & cont & survive, 1.0 / p_surv, 1.0)
+        tr2, tg2, tb2 = tr2 * scale, tg2 * scale, tb2 * scale
+        cont = cont & survive
+    depth2 = depth + 1.0
+    cont = cont & (depth2 < float(max_depth))
+
+    retire = a & ~cont
+    acr = acr + jnp.where(retire, sr, 0.0)
+    acg = acg + jnp.where(retire, sg, 0.0)
+    acb = acb + jnp.where(retire, sb, 0.0)
+    done2 = done + jnp.where(retire, 1.0, 0.0)
+    regen = retire & (done2 < float(quota))
+
+    # camera respawn of regen lanes (camera_rays_soa row twin,
+    # camera.rs:57-64 + the jitter/y-flip of camera.rs:97-99)
+    c = lambda i: cam_ref[i, 0]
+    cu = (px_ref[:] + row(uni_ref, 5)) / float(width - 1)
+    cv = (py_ref[:] + row(uni_ref, 6)) / float(height - 1)
+    ct = 1.0 - cv
+    lr = jnp.sqrt(row(uni_ref, 7)) * c(18)
+    phi = TWO_PI * row(uni_ref, 8)
+    rdx = lr * jnp.cos(phi)
+    rdy = lr * jnp.sin(phi)
+    cox = c(0) + c(3) * rdx + c(6) * rdy
+    coy = c(1) + c(4) * rdx + c(7) * rdy
+    coz = c(2) + c(5) * rdx + c(8) * rdy
+    cdx = c(9) + cu * c(12) + ct * c(15) - cox
+    cdy = c(10) + cu * c(13) + ct * c(16) - coy
+    cdz = c(11) + cu * c(14) + ct * c(17) - coz
+
+    sel = lambda cam, nxt, old: jnp.where(
+        regen, cam, jnp.where(cont, nxt, old))
+    o_out[:] = jnp.concatenate([sel(cox, nox_, rv.ox),
+                                sel(coy, noy_, rv.oy),
+                                sel(coz, noz_, rv.oz)], axis=0)
+    d_out[:] = jnp.concatenate([sel(cdx, odx, rv.dx),
+                                sel(cdy, ody, rv.dy),
+                                sel(cdz, odz, rv.dz)], axis=0)
+    one = jnp.ones_like(tr2)
+    zero = jnp.zeros_like(tr2)
+    tput_out[:] = jnp.concatenate([jnp.where(regen, one, tr2),
+                                   jnp.where(regen, one, tg2),
+                                   jnp.where(regen, one, tb2)], axis=0)
+    samp_out[:] = jnp.concatenate([jnp.where(regen, zero, sr),
+                                   jnp.where(regen, zero, sg),
+                                   jnp.where(regen, zero, sb)], axis=0)
+    accum_out[:] = jnp.concatenate([acr, acg, acb], axis=0)
+    alive_out[:] = (cont | regen).astype(jnp.float32)
+    depth_out[:] = jnp.where(regen, 0.0, depth2)
+    done_out[:] = done2
+    if time_out is not None:
+        t_new = c(19) + row(uni_ref, 9) * (c(20) - c(19))
+        time_out[:] = jnp.where(regen, t_new, time_ref[:])
+
+
+def _regen_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref, *refs,
+                  n_sph: int, n_rect: int, n_tri: int, width: int,
+                  height: int, quota: int, max_depth: int, rr_on: bool,
+                  rr_start: int, has_time: bool = False,
+                  order: bool = False, sph_cfg=None, tri_cfg=None,
+                  order_ref=None, cullf_ref=None):
+    time_ref, refs = (refs[0], refs[1:]) if has_time else (None, refs)
+    (px_ref, py_ref, tput_ref, samp_ref, accum_ref, depth_ref, done_ref,
+     cam_ref, sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref, scull_ref,
+     o_out, d_out, tput_out, samp_out, accum_out, alive_out, depth_out,
+     done_out, *rest) = refs
+    time_out = rest[0] if has_time else None
+    rv = ray_vals(o_ref, d_ref, tmin_ref, tmin_ref, time_ref)
+    rv = rv._replace(tmax=jnp.full_like(rv.tmin, BIG))
+    alive_vec = alive_ref[:]
+    if order:
+        carry, _, _ = _stage_sweep(
+            rv, alive_vec, sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
+            scull_ref, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
+            order_ref=order_ref, cullf_ref=cullf_ref, sph_cfg=sph_cfg,
+            tri_cfg=tri_cfg)
+    else:
+        carry, _, _ = _stage_sweep(
+            rv, alive_vec, sph_ref, rect_ref, tri_ref, cull_ref, tcull_ref,
+            scull_ref, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri)
+    _regen_epilogue(rv, carry, uni_ref, cam_ref, px_ref, py_ref, tput_ref,
+                    samp_ref, accum_ref, depth_ref, done_ref, alive_vec,
+                    time_ref, o_out, d_out, tput_out, samp_out, accum_out,
+                    alive_out, depth_out, done_out, time_out, width=width,
+                    height=height, quota=quota, max_depth=max_depth,
+                    rr_on=rr_on, rr_start=rr_start)
+
+
+def _regen_kernel_ordered(order_ref, cullf_ref, o_ref, d_ref, tmin_ref,
+                          alive_ref, uni_ref, *refs, **kw):
+    _regen_kernel(o_ref, d_ref, tmin_ref, alive_ref, uni_ref, *refs,
+                  order=True, order_ref=order_ref, cullf_ref=cullf_ref,
+                  **kw)
+
+
+_REGEN_OUT_WIDTHS = (3, 3, 3, 3, 3, 1, 1, 1)  # o d tput samp accum al dep dn
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_sph", "n_rect", "n_tri", "interpret", "width", "height", "quota",
+    "max_depth", "rr_on", "rr_start"))
+def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
+                depth, done, cam, sph, rect, tri, cull, tcull, scull,
+                tscull, *, n_sph, n_rect, n_tri, interpret, width, height,
+                quota, max_depth, rr_on, rr_start, time=None):
+    """Megakernel-v2 pallas call: one full regen-loop step. All ray
+    operands transposed ((w, N) rows); ``cam`` is the (32, 1) camera
+    column. Returns (o (3,N), d (3,N), tput (3,N), samp (3,N),
+    accum (3,N), alive (1,N) f32, depth (1,N), done (1,N) [, time])."""
+    n = o_t.shape[1]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        o_t = jnp.pad(o_t, [(0, 0), (0, pad)])
+        d_t = jnp.pad(d_t, [(0, 0), (0, pad)])
+        tmin = jnp.pad(tmin, [(0, pad)])
+        alive = jnp.pad(alive, [(0, pad)])      # pad lanes stay dead: every
+        uni_t = jnp.pad(uni_t, [(0, 0), (0, pad)])  # gate below flows from a
+        px = jnp.pad(px, [(0, pad)])
+        py = jnp.pad(py, [(0, pad)])
+        tput = jnp.pad(tput, [(0, 0), (0, pad)])
+        samp = jnp.pad(samp, [(0, 0), (0, pad)])
+        accum = jnp.pad(accum, [(0, 0), (0, pad)])
+        depth = jnp.pad(depth, [(0, pad)])
+        done = jnp.pad(done, [(0, pad)])
+        if time is not None:
+            time = jnp.pad(time, [(0, pad)])
+    alive = alive.astype(jnp.float32)
+
+    sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
+    tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
+    n_tiles = n_pad // TILE
+    sph_ord, tri_ord = _order_flags(
+        n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+        cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
+
+    ray_ins = [o_t, d_t, tmin[None], alive[None], uni_t]
+    ray_widths = [3, 3, 1, 1, uni_t.shape[0]]
+    if time is not None:
+        ray_ins.append(time[None])
+        ray_widths.append(1)
+    ray_ins += [px[None], py[None], tput, samp, accum, depth[None],
+                done[None]]
+    ray_widths += [1, 1, 3, 3, 3, 1, 1]
+    grid = (n_pad // TILE,)
+    flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri + 500
+    out_widths = _REGEN_OUT_WIDTHS + ((1,) if time is not None else ())
+    out_shape = [jax.ShapeDtypeStruct((w, n_pad), jnp.float32)
+                 for w in out_widths]
+    cost = pl.CostEstimate(
+        flops=flops_per_ray * n_pad, bytes_accessed=n_pad * 260,
+        transcendentals=n_pad * max(1, n_sph))
+    kern_kw = dict(n_sph=n_sph, n_rect=n_rect, n_tri=n_tri, width=width,
+                   height=height, quota=quota, max_depth=max_depth,
+                   rr_on=rr_on, rr_start=rr_start,
+                   has_time=time is not None)
+
+    if sph_ord or tri_ord:
+        words, cullf, sph_cfg, tri_cfg = _build_order_operands(
+            o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
+            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+        rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
+                                    memory_space=pltpu.VMEM)
+        kernel = functools.partial(_regen_kernel_ordered, sph_cfg=sph_cfg,
+                                   tri_cfg=tri_cfg, **kern_kw)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[rs(w) for w in ray_widths]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+                out_specs=[rs(w) for w in out_widths]),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(words, cullf, *ray_ins, cam, sph, rect, tri, cull, tcull, scull)
+    else:
+        rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)
+        kernel = functools.partial(_regen_kernel, **kern_kw)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[rs(w) for w in ray_widths]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=[rs(w) for w in out_widths],
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*ray_ins, cam, sph, rect, tri, cull, tcull, scull)
+    return tuple(x[:, :n] for x in outs)
+
+
+def pack_camera(cam) -> jnp.ndarray:
+    """Camera params as the (32, 1) f32 column _regen_epilogue reads."""
+    parts = jnp.concatenate([
+        cam.origin, cam.u, cam.v, cam.lower_left_corner, cam.horizontal,
+        cam.vertical,
+        jnp.reshape(cam.lens_radius.astype(jnp.float32), (1,)),
+        jnp.reshape(jnp.asarray(cam.time0, jnp.float32), (1,)),
+        jnp.reshape(jnp.asarray(cam.time1, jnp.float32), (1,))])
+    return jnp.pad(parts, (0, 32 - parts.shape[0]))[:, None]
+
+
+def regen_step_fused(scene: Scene, o_t, d_t, t_min, alive, uni2_t, px, py,
+                     tput, samp, accum, depth, done, *, width, height,
+                     quota, max_depth, rr_on, rr_start, time=None):
+    """One fused regen-loop step (see _regen_epilogue docstring for the
+    uni2 row layout). Wrapper mirroring bounce_fused's table packing."""
+    motion = (bool(scene.spheres.motion_marker.shape[0])
+              and time is not None)
+    sph, rect, tri, cull, tcull, scull, tscull = pack_tables(
+        scene, with_motion=motion)
+    n = o_t.shape[1]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    time = (jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+            if motion else None)
+    interpret = jax.default_backend() != "tpu"
+    return _call_regen(
+        o_t, d_t, tmin, alive, uni2_t, px, py, tput, samp, accum, depth,
+        done, pack_camera(scene.camera), sph, rect, tri, cull, tcull,
+        scull, tscull,
+        n_sph=sph.shape[0] if scene.spheres.radius.shape[0] else 0,
+        n_rect=rect.shape[0] if scene.rects.k.shape[0] else 0,
+        n_tri=tri.shape[0] if scene.triangles.mat_id.shape[0] else 0,
+        interpret=interpret, width=width, height=height, quota=quota,
+        max_depth=max_depth, rr_on=rr_on, rr_start=rr_start, time=time)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sph", "n_rect", "n_tri",

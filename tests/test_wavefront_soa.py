@@ -172,6 +172,57 @@ def test_fused_render_matches_unfused_render():
                                rtol=1e-4, atol=1e-5)
 
 
+def _render_regen_gated(scene, key, kw, gate):
+    """render_regen_soa with the megakernel-v2 env gate set to ``gate``."""
+    from raytracer_tpu.models import wavefront_soa as ws
+    old = os.environ.get("RAYTRACER_TPU_REGEN_FUSED")
+    os.environ["RAYTRACER_TPU_REGEN_FUSED"] = gate
+    try:
+        return ws.render_regen_soa(scene, key, **kw)
+    finally:
+        if old is None:
+            del os.environ["RAYTRACER_TPU_REGEN_FUSED"]
+        else:
+            os.environ["RAYTRACER_TPU_REGEN_FUSED"] = old
+
+
+def test_regen_megakernel_matches_xla_body():
+    """Megakernel v2 (the ENTIRE regen-loop body — emission, RR,
+    retire/quota accounting, camera respawn — in one pallas call) vs the
+    XLA body using the fused bounce: same threefry rows feed the same
+    formulas, so rays/steps match exactly and images to FP tolerance.
+    RR on: the kernel's in-VMEM roulette must consume the same uniform
+    row (U_RR) at the same step the XLA body would."""
+    from raytracer_tpu.scene.builtin import cornell_box as cb
+    scene = cb(with_mesh=True)
+    key = jax.random.PRNGKey(11)
+    kw = dict(width=16, height=16, lanes_per_pixel=2, samples_per_lane=4,
+              max_depth=8, t_min=1e-3, spawn_eps=0.1, intersector="pallas",
+              russian_roulette=True)
+    img_k, rays_k, steps_k = _render_regen_gated(scene, key, kw, "1")
+    img_x, rays_x, steps_x = _render_regen_gated(scene, key, kw, "0")
+    assert int(rays_k) == int(rays_x)
+    assert int(steps_k) == int(steps_x)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_regen_megakernel_motion_matches_xla_body():
+    """Motion twin: the kernel's per-lane shutter-time respawn (uni row 9
+    + cam time0/time1) must reproduce the XLA body's U_TIME stream."""
+    from raytracer_tpu.scene.builtin import motion_field
+    scene = motion_field(48, aspect_ratio=1.0)
+    key = jax.random.PRNGKey(12)
+    kw = dict(width=12, height=12, lanes_per_pixel=2, samples_per_lane=3,
+              max_depth=6, t_min=1e-3, spawn_eps=1e-3,
+              intersector="pallas", russian_roulette=True)
+    img_k, rays_k, _ = _render_regen_gated(scene, key, kw, "1")
+    img_x, rays_x, _ = _render_regen_gated(scene, key, kw, "0")
+    assert int(rays_k) == int(rays_x)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _fresh_compile_state():
     """The drain-cascade tests compile the largest programs in the suite
