@@ -26,6 +26,8 @@ import raytracer_tpu.ops.pallas_intersect as pi
 pi.SPH_CHUNK = int(sys.argv[1])
 pi.SUPER = int(sys.argv[2])
 pi.ORDER_MIN_CHUNKS = int(sys.argv[3])
+if len(sys.argv) > 4:
+    pi.TILE = int(sys.argv[4])
 
 from raytracer_tpu.models import path_tracer as pt
 from raytracer_tpu.scene.loader import load_scene

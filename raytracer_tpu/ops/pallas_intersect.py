@@ -74,11 +74,26 @@ from raytracer_tpu.scene.types import (
     MAT_METAL, PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE, Scene, TEX_CHECKER,
 )
 
-TILE = 512   # rays per kernel instance. Round-3's column layout measured
-# 256 > 512 (cull granularity); the round-4 row layout + cheap per-chunk
-# fixed costs flipped it — v5e, tile_width_bench: scene_500 noRR 43.7 ->
-# 53.2 Mrays/s, RR 45.1 -> 54.1, raw 960k cast 130.8 -> 91.5 ms; field64k
-# ordered walk 6.63 -> 6.06 s per 32spp (means identical).
+# Rays per kernel instance. Round-3's column layout measured 256 > 512
+# (cull granularity); the round-4 row layout + cheap per-chunk fixed costs
+# flipped it, and wider kept winning on sphere scenes — v5e,
+# tile_width_bench + tile_scene_sweep: scene_500 noRR 43.7 (256-era 42) ->
+# 53.2 (512) -> 59.7 Mrays/s (1024); RR 54.1 -> 60.5; scene_10 RR 115.7 ->
+# 127.4; motion1k 25.3 -> 26.7; field64k walk ties (6.06 vs 6.11 s). But
+# TRIANGLE scenes regress hard at 1024 (bunny_field 124k tris: 6.28 ->
+# 11.77 s per 8spp — the tri walk's per-tile alive-AABB spans 4 pixel
+# blocks and walks ~2x the chunks, and (tri_chunk, TILE) pair matrices
+# double), so the tile width is chosen PER CALL by tile_for(): a pure
+# function of the static table sizes (cache-key safe under jit).
+TILE = 512       # tri-walk scenes; also the leaf/bvh kernel's tile
+TILE_SPH = 1024  # sphere/rect scenes (no tri table beyond one chunk)
+
+
+def tile_for(n_tri: int) -> int:
+    """Ray-tile width for a kernel call — 512 when a real triangle table
+    is present (more than one chunk), else 1024. Pure in the static table
+    sizes, so jit caches keyed on (n_sph, n_rect, n_tri) stay coherent."""
+    return TILE if n_tri > CHUNK else TILE_SPH
 CHUNK = 512        # rect/tri chunk width
 # Sphere chunk width. Finer chunks enable more selective per-chunk AABB
 # culling but add per-chunk fixed costs (reductions, extraction). Round 3's
@@ -605,7 +620,7 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
     return carry
 
 
-def _tile_chunk_order(o_t, alive, scull):
+def _tile_chunk_order(o_t, alive, scull, tile):
     """Per-ray-tile near-to-far SUPERCHUNK walk order, byte-packed for
     scalar prefetch (4 ids per i32 word). ``o_t`` is the TRANSPOSED (3, N)
     origin array (the same operand the kernel receives).
@@ -615,10 +630,10 @@ def _tile_chunk_order(o_t, alive, scull):
     identical operands and the squared sum uses the same term order, so
     the kernel's recomputed gap agrees with this ordering bit-for-bit.
     Returns (words (G*W,) i32, W)."""
-    g = o_t.shape[1] // TILE
+    g = o_t.shape[1] // tile
     k = scull.shape[1]
-    to = o_t.reshape(3, g, TILE)
-    am = (alive.reshape(g, TILE) > 0.5)[None]                 # (1,G,T)
+    to = o_t.reshape(3, g, tile)
+    am = (alive.reshape(g, tile) > 0.5)[None]                 # (1,G,T)
     tlo = jnp.min(jnp.where(am, to, BIG), 2)                  # (3,G)
     thi = jnp.max(jnp.where(am, to, -BIG), 2)
     clo = scull[0:3][:, None]                                 # (3,1,K)
@@ -1001,7 +1016,8 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
                  scull, tscull, *, n_sph, n_rect, n_tri, interpret,
                  time=None):
     n = o.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    tile = tile_for(n_tri)
+    n_pad = -(-n // tile) * tile
     pad = n_pad - n
     if pad:
         o = jnp.pad(o, [(0, pad), (0, 0)])
@@ -1020,7 +1036,7 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
 
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
     tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
-    n_tiles = n_pad // TILE
+    n_tiles = n_pad // tile
     sph_ord, tri_ord = _order_flags(
         n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
         cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
@@ -1029,18 +1045,19 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
             o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull, tcull, scull,
             tscull, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
             sph_ord=sph_ord, tri_ord=tri_ord, sph_chunk=sph_chunk,
-            tri_chunk=tri_chunk, interpret=interpret, n=n, time=time)
+            tri_chunk=tri_chunk, interpret=interpret, n=n, time=time,
+            tile=tile)
     ray_ins = [o_t, d_t, tmin[None], tmax[None], alive[None]]
     ray_widths = [3, 3, 1, 1, 1]
     if time is not None:
         ray_ins.append(time[None])
         ray_widths.append(1)
 
-    grid = (n_pad // TILE,)
+    grid = (n_pad // tile,)
     kernel = functools.partial(_closest_kernel, n_sph=n_sph, n_rect=n_rect,
                                n_tri=n_tri, has_time=time is not None)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri
-    rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+    rs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
     t, ty, ix, data = pl.pallas_call(
         kernel,
@@ -1067,8 +1084,8 @@ def _call_kernel(o, d, tmin, tmax, alive, sph, rect, tri, cull, tcull,
 def _call_kernel_ordered(o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull,
                          tcull, scull, tscull, *, n_sph, n_rect, n_tri,
                          sph_ord, tri_ord, sph_chunk, tri_chunk,
-                         interpret, n, time=None):
-    """Ordered-walk pallas call (inputs pre-padded to a TILE multiple;
+                         interpret, n, time=None, tile=TILE):
+    """Ordered-walk pallas call (inputs pre-padded to a ``tile`` multiple;
     ``o_t``/``d_t`` already transposed to (3, N)).
     Each ordered stage's per-tile superchunk order + flattened chunk+super
     cull tables ride scalar prefetch into SMEM (concatenated, with static
@@ -1077,14 +1094,15 @@ def _call_kernel_ordered(o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull,
     n_pad = o_t.shape[1]
     words, cullf, sph_cfg, tri_cfg = _build_order_operands(
         o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
-        tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+        tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+        tile=tile)
     ray_ins = [o_t, d_t, tmin[None], tmax[None], alive[None]]
     ray_widths = [3, 3, 1, 1, 1]
     if time is not None:
         ray_ins.append(time[None])
         ray_widths.append(1)
 
-    grid = (n_pad // TILE,)
+    grid = (n_pad // tile,)
     kernel = functools.partial(_closest_kernel_ordered, n_sph=n_sph,
                                n_rect=n_rect, n_tri=n_tri,
                                sph_cfg=sph_cfg, tri_cfg=tri_cfg,
@@ -1094,7 +1112,7 @@ def _call_kernel_ordered(o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull,
     flops_per_ray = ((40 * n_sph // 8 if sph_ord else 40 * n_sph)
                      + 60 * n_rect
                      + (80 * n_tri // 8 if tri_ord else 80 * n_tri))
-    rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
+    rs = lambda w: pl.BlockSpec((w, tile), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)
     n_stats = 2 if ORDER_STATS else 0
     out = pl.pallas_call(
@@ -1118,7 +1136,7 @@ def _call_kernel_ordered(o_t, d_t, tmin, tmax, alive, sph, rect, tri, cull,
         interpret=interpret,
     )(words, cullf, *ray_ins, sph, rect, tri, cull, tcull, scull)
     t, ty, ix, data = out[:4]
-    stats = (tuple(s[0, ::TILE] for s in out[4:]) if n_stats else None)
+    stats = (tuple(s[0, ::tile] for s in out[4:]) if n_stats else None)
     t = t[0, :n]
     return (jnp.where(t >= BIG, jnp.inf, t), ty[0, :n], ix[0, :n],
             data[:, :n], stats)
@@ -1437,7 +1455,7 @@ def _order_flags(*, n_sph, n_tri, sph_chunk, tri_chunk, cull, scull,
 
 
 def _build_order_operands(o_t, alive, cull, scull, tcull, tscull, *,
-                          sph_ord, tri_ord, sph_chunk, tri_chunk):
+                          sph_ord, tri_ord, sph_chunk, tri_chunk, tile):
     """Per-tile walk orders + flattened cull tables for the scalar-prefetch
     operands (shared by both ordered call wrappers). Returns
     (words (W,), cullf (F,), sph_cfg, tri_cfg)."""
@@ -1446,7 +1464,7 @@ def _build_order_operands(o_t, alive, cull, scull, tcull, tscull, *,
     word_base = cull_base = 0
     if sph_ord:
         k_ch = cull.shape[1]
-        words, w_words = _tile_chunk_order(o_t, alive, scull)
+        words, w_words = _tile_chunk_order(o_t, alive, scull, tile)
         sph_cfg = (w_words, k_ch, sph_chunk, 0, 0)
         words_parts.append(words)
         cull_parts += [cull.reshape(-1), scull.reshape(-1)]
@@ -1454,7 +1472,7 @@ def _build_order_operands(o_t, alive, cull, scull, tcull, tscull, *,
         cull_base = 6 * (k_ch + scull.shape[1])
     if tri_ord:
         tk_ch = tcull.shape[1]
-        twords, tw_words = _tile_chunk_order(o_t, alive, tscull)
+        twords, tw_words = _tile_chunk_order(o_t, alive, tscull, tile)
         tri_cfg = (tw_words, tk_ch, tri_chunk, word_base, cull_base)
         words_parts.append(twords)
         cull_parts += [tcull.reshape(-1), tscull.reshape(-1)]
@@ -1830,7 +1848,8 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
     column. Returns (o (3,N), d (3,N), tput (3,N), samp (3,N),
     accum (3,N), alive (1,N) f32, depth (1,N), done (1,N) [, time])."""
     n = o_t.shape[1]
-    n_pad = -(-n // TILE) * TILE
+    tile = tile_for(n_tri)
+    n_pad = -(-n // tile) * tile
     pad = n_pad - n
     if pad:
         o_t = jnp.pad(o_t, [(0, 0), (0, pad)])
@@ -1851,7 +1870,7 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
 
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
     tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
-    n_tiles = n_pad // TILE
+    n_tiles = n_pad // tile
     sph_ord, tri_ord = _order_flags(
         n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
         cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
@@ -1864,7 +1883,7 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
     ray_ins += [px[None], py[None], tput, samp, accum, depth[None],
                 done[None]]
     ray_widths += [1, 1, 3, 3, 3, 1, 1]
-    grid = (n_pad // TILE,)
+    grid = (n_pad // tile,)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri + 500
     out_widths = _REGEN_OUT_WIDTHS + ((1,) if time is not None else ())
     out_shape = [jax.ShapeDtypeStruct((w, n_pad), jnp.float32)
@@ -1881,7 +1900,7 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
         words, cullf, sph_cfg, tri_cfg = _build_order_operands(
             o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
             tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
-        rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
+        rs = lambda w: pl.BlockSpec((w, tile), lambda i, *_: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(_regen_kernel_ordered, sph_cfg=sph_cfg,
                                    tri_cfg=tri_cfg, **kern_kw)
@@ -1898,7 +1917,7 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
             interpret=interpret,
         )(words, cullf, *ray_ins, cam, sph, rect, tri, cull, tcull, scull)
     else:
-        rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+        rs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(_regen_kernel, **kern_kw)
         outs = pl.pallas_call(
@@ -1960,7 +1979,8 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
     Takes the same per-tile ordered walk as the closest-hit kernel when a
     stage qualifies (_order_flags)."""
     n = o_t.shape[1]
-    n_pad = -(-n // TILE) * TILE
+    tile = tile_for(n_tri)
+    n_pad = -(-n // tile) * tile
     pad = n_pad - n
     if pad:
         o_t = jnp.pad(o_t, [(0, 0), (0, pad)])
@@ -1974,7 +1994,7 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
 
     sph_chunk = eff_chunk(n_sph, SPH_CHUNK) if n_sph else SPH_CHUNK
     tri_chunk = eff_chunk(n_tri, CHUNK) if n_tri else CHUNK
-    n_tiles = n_pad // TILE
+    n_tiles = n_pad // tile
     sph_ord, tri_ord = _order_flags(
         n_sph=n_sph, n_tri=n_tri, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
         cull=cull, scull=scull, tcull=tcull, tscull=tscull, n_tiles=n_tiles)
@@ -1984,7 +2004,7 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
     if time is not None:
         ray_ins.append(time[None])
         ray_widths.append(1)
-    grid = (n_pad // TILE,)
+    grid = (n_pad // tile,)
     flops_per_ray = 40 * n_sph + 60 * n_rect + 80 * n_tri + 300
     out_shape = ([jax.ShapeDtypeStruct((3, n_pad), jnp.float32)] * 6
                  + [jax.ShapeDtypeStruct((1, n_pad), jnp.int32)])
@@ -1996,7 +2016,7 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
         words, cullf, sph_cfg, tri_cfg = _build_order_operands(
             o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
             tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
-        rs = lambda w: pl.BlockSpec((w, TILE), lambda i, *_: (0, i),
+        rs = lambda w: pl.BlockSpec((w, tile), lambda i, *_: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(
             _bounce_kernel_ordered, n_sph=n_sph, n_rect=n_rect, n_tri=n_tri,
@@ -2014,7 +2034,7 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
             interpret=interpret,
         )(words, cullf, *ray_ins, sph, rect, tri, cull, tcull, scull)
     else:
-        rs = lambda w: pl.BlockSpec((w, TILE), lambda i: (0, i),
+        rs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(_bounce_kernel, n_sph=n_sph,
                                    n_rect=n_rect, n_tri=n_tri,
