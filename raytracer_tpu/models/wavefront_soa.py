@@ -22,6 +22,7 @@ volumetric media or motion blur; everything else takes the (N,3) path.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -377,17 +378,94 @@ def use_fused(scene: Scene, intersector: str) -> bool:
     return intersector == "pallas" and bounce_fused_eligible(scene)
 
 
+def use_sort(scene: Scene, intersector: str) -> bool:
+    """Morton ray sorting pays only when the kernel has per-tile culling
+    with something to cull: sphere tables big enough for the ordered
+    superchunk walk (pallas_intersect._wants_order) or tables past the
+    slab thresholds (the slab chain culls each slab by the tile's alive
+    AABB). Small scenes (Cornell, scene_500's single-digit chunk count)
+    skip it — the per-step argsort would outweigh the cull win.
+    Override with RAYTRACER_TPU_RAY_SORT=0/1."""
+    env = os.environ.get("RAYTRACER_TPU_RAY_SORT", "auto")
+    if env == "0" or intersector != "pallas":
+        return False
+    from raytracer_tpu.ops import pallas_intersect as pi
+    if env == "1":
+        return True
+    n_sph = scene.spheres.radius.shape[0]
+    n_tri = scene.triangles.mat_id.shape[0]
+    return (pi._wants_order(n_sph, pi.eff_chunk(n_sph, pi.SPH_CHUNK))
+            or n_sph > pi.SPH_SLAB or n_tri > pi.TRI_SLAB
+            or n_tri > 4 * pi.CHUNK)
+
+
+def _sort_perm(ox, oy, oz, alive):
+    """(perm, inv): permutation Morton-ordering ALIVE lanes by origin
+    (dead lanes pushed to the back, so trailing all-dead ray tiles take the
+    kernels' whole-tile skip). Quantizes against the alive-origin AABB of
+    THIS wavefront — no scene knowledge needed, adapts per bounce."""
+    n = ox.shape[0]
+    inf = jnp.float32(jnp.inf)
+
+    def lo_hi(c):
+        return (jnp.min(jnp.where(alive, c, inf)),
+                jnp.max(jnp.where(alive, c, -inf)))
+
+    def quant(c, lo, hi):
+        s = jnp.where(hi > lo, 1023.0 / (hi - lo), 0.0)
+        return jnp.clip((c - lo) * s, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):  # 10 -> 30 bits (same scheme as pallas_intersect)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = jnp.uint32(0)
+    for i, c in enumerate((ox, oy, oz)):
+        lo, hi = lo_hi(c)
+        code = code | (spread(quant(c, lo, hi)) << i)
+    key = jnp.where(alive, code, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
+    return perm, inv
+
+
 def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
                 t_min: float, spawn_eps, intersector: str,
-                fused: bool, time=None) -> Bounce:
+                fused: bool, time=None, sort: bool = False) -> Bounce:
     """Advance one bounce: intersect + attrs + texture + scatter. The fused
     path runs everything inside one pallas call (ops/pallas_intersect.
     _bounce_kernel); the unfused path is the original attrs_soa +
     scatter_soa XLA stage. Both consume the SAME uniform rows (``rng``:
     PRNG key or prepared (>=3, n) rows), so they are stream-identical by
-    construction."""
+    construction.
+
+    ``sort`` (use_sort): permute lanes into Morton-of-origin order around
+    the call and inverse-permute the outputs. Lanes are independent and
+    their uniform rows travel with them, so results are BIT-IDENTICAL to
+    the unsorted call — the permutation only tightens per-ray-tile alive
+    AABBs (better near-to-far walk order + reach culling on big scenes)
+    and compacts dead lanes into whole skippable tiles."""
     n = ox.shape[0]
     uni = _uni_rows(rng, 3, n)
+    if sort:
+        perm, inv = _sort_perm(ox, oy, oz, alive)
+        tsub = time
+        if time is not None and getattr(time, "ndim", 0) >= 1:
+            tsub = jnp.take(time, perm, axis=0)
+        esub = spawn_eps
+        if getattr(spawn_eps, "ndim", 0) >= 1:
+            esub = jnp.take(spawn_eps, perm, axis=0)
+        b = bounce_step(
+            scene, uni[:, perm],
+            jnp.take(ox, perm), jnp.take(oy, perm), jnp.take(oz, perm),
+            jnp.take(dx, perm), jnp.take(dy, perm), jnp.take(dz, perm),
+            jnp.take(alive, perm), t_min=t_min, spawn_eps=esub,
+            intersector=intersector, fused=fused, time=tsub, sort=False)
+        return Bounce(*(jnp.take(f, inv, axis=0) for f in b))
     if fused:
         from raytracer_tpu.ops.pallas_intersect import bounce_fused
         eps = jnp.broadcast_to(
@@ -441,6 +519,7 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
     masking carries the savings instead."""
     n = o.shape[0]
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
 
     def cond(s):
         return (s[0] < max_depth) & jnp.any(s[14])
@@ -452,7 +531,8 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
         U = jax.random.uniform(k, (U_TRACE_ROWS, n))
         b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused, time=time)
+                        intersector=intersector, fused=fused, time=time,
+                        sort=sort)
 
         # b.er/inter are miss-masked, so `alive` alone gates accumulation
         emit_ok = alive & ~prev_diff
@@ -617,6 +697,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
     n_out = slots.shape[0]
     n = n_out * lanes_per_pixel
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
     slot_id = jnp.arange(n, dtype=jnp.int32) % n_out
     pix = slots[slot_id]
     quota = jnp.int32(samples_per_lane)
@@ -695,7 +776,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
                             intersector=intersector, fused=fused,
-                            time=time)
+                            time=time, sort=sort)
 
             emit_ok = alive & ~prev_diff
             sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)
@@ -845,6 +926,7 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
     n_out = slots.shape[0]
     n = n_out * lanes_per_pixel
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
     slot_id = jnp.arange(n, dtype=jnp.int32) % n_out
     pix = slots[slot_id]
     quota = jnp.int32(samples_per_lane)
@@ -859,7 +941,7 @@ def gather_regen_soa(scene: Scene, est, key, *, width: int, height: int,
                                    (U_REGEN_ROWS, nl_))
             b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
-                            intersector=intersector, fused=fused)
+                            intersector=intersector, fused=fused, sort=sort)
             sr = sr + jnp.where(alive, tr * b.er, 0.0)
             sg = sg + jnp.where(alive, tg * b.eg, 0.0)
             sb = sb + jnp.where(alive, tb * b.eb, 0.0)
@@ -961,6 +1043,7 @@ def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,
     n = o.shape[0]
     del n
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
     er_, eg_, eb_ = est[:, 0], est[:, 1], est[:, 2]
 
     def cond(s):
@@ -972,7 +1055,7 @@ def gather_walk_soa(scene: Scene, o, d, est, k_walk, *, max_depth: int,
         k = jax.random.fold_in(k_walk, step)
         b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+                        intersector=intersector, fused=fused, sort=sort)
         rr_ = rr_ + jnp.where(alive, tr * b.er, 0.0)
         rg_ = rg_ + jnp.where(alive, tg * b.eg, 0.0)
         rb_ = rb_ + jnp.where(alive, tb * b.eb, 0.0)
@@ -1010,6 +1093,7 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
     walk to the first Diffuse hit, photon_mapper.rs:277-300). Returns
     (valid (N,), p (N,3), normal (N,3), bsdf (N,3))."""
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
 
     def cond(s):
         return (s[0] < max_depth) & jnp.any(s[7])
@@ -1020,7 +1104,7 @@ def measurement_soa(scene: Scene, o, d, *, k_walk, max_depth: int,
         k = jax.random.fold_in(k_walk, step)
         b = bounce_step(scene, k, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+                        intersector=intersector, fused=fused, sort=sort)
         diffuse_now = alive & (b.inter == INTER_DIFFUSE)
         # bsdf color = albedo, 1/pi for diffuse lights (material.rs bsdf) —
         # exactly scatter's attenuation; no second texture evaluation
@@ -1158,6 +1242,7 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
         window = 0 if B <= L else -(-4 * (B - L) // L)
     S = window + max_bounces
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
     k_emit = jax.random.fold_in(key, 29)
 
     def emit(step_i):
@@ -1172,7 +1257,7 @@ def trace_photon_deposits_regen_soa(scene: Scene, key, n_photons: int,
             (U_TRACE_ROWS, L))
         b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+                        intersector=intersector, fused=fused, sort=sort)
         # photon Russian roulette with power renormalization
         # (material.rs:27-45)
         hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))
@@ -1246,6 +1331,7 @@ def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
     from raytracer_tpu.ops.lights import emit_photons
     ph = emit_photons(scene.lights, key, n_photons)
     fused = use_fused(scene, intersector)
+    sort = use_sort(scene, intersector)
 
     def step(s, _):
         (ox, oy, oz, dx, dy, dz, wr, wg, wb,
@@ -1255,7 +1341,7 @@ def trace_photon_deposits_soa(scene: Scene, key, n_photons: int,
             (U_TRACE_ROWS, n_photons))
         b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
-                        intersector=intersector, fused=fused)
+                        intersector=intersector, fused=fused, sort=sort)
         # photon Russian roulette with power renormalization
         # (material.rs:27-45)
         hmax = jnp.maximum(b.ar, jnp.maximum(b.ag, b.ab))

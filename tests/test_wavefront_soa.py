@@ -285,3 +285,47 @@ def test_gather_regen_drain_compaction(key):
     m1 = np.asarray(a1).mean()
     m2 = np.asarray(a2).mean()
     assert abs(m1 - m2) / max(m1, 1e-9) < 0.06, (m1, m2)
+
+
+def test_sorted_bounce_bitwise_matches_unsorted(key):
+    """bounce_step(sort=True) Morton-permutes lanes around the kernel call
+    and inverse-permutes the outputs; lanes are independent and their
+    uniform rows travel with them, so every output must be BIT-identical
+    to the unsorted call (both fused and unfused paths, mixed alive)."""
+    from raytracer_tpu.models.wavefront_soa import bounce_step
+    scene = three_spheres()
+    n = 2048
+    k1, k2, k3 = jax.random.split(key, 3)
+    o = jax.random.uniform(k1, (n, 3), minval=-6, maxval=6)
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    alive = jax.random.uniform(k3, (n,)) > 0.3
+    U = jax.random.uniform(jax.random.fold_in(key, 5), (4, n))
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    for fused in (True, False):
+        kw = dict(t_min=1e-3, spawn_eps=1e-3, intersector="pallas",
+                  fused=fused)
+        b0 = bounce_step(scene, U, *comps, alive, sort=False, **kw)
+        b1 = bounce_step(scene, U, *comps, alive, sort=True, **kw)
+        for name, x, y in zip(b0._fields, b0, b1):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), (
+                fused, name)
+
+
+def test_use_sort_gate():
+    """Auto gate: big sphere tables sort, small scenes don't; env forces."""
+    import os
+    from raytracer_tpu.models.wavefront_soa import use_sort
+    from raytracer_tpu.scene.builtin import sphere_field
+    small = three_spheres()
+    big = sphere_field(8192)
+    assert not use_sort(small, "pallas")
+    assert use_sort(big, "pallas")
+    assert not use_sort(big, "leaf")
+    os.environ["RAYTRACER_TPU_RAY_SORT"] = "0"
+    try:
+        assert not use_sort(big, "pallas")
+        os.environ["RAYTRACER_TPU_RAY_SORT"] = "1"
+        assert use_sort(small, "pallas")
+    finally:
+        os.environ.pop("RAYTRACER_TPU_RAY_SORT", None)
