@@ -2,9 +2,14 @@
 
 PY ?= python
 
-.PHONY: test lint native render render_ci bench dryrun clean ci
+.PHONY: test test-all lint native render render_ci bench dryrun clean ci
 
+# Fast tier (<~3 min on CPU): everything except the @pytest.mark.slow
+# golden/SPPM/parallel heavyweights. CI and test-all run the full suite.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 # Real linter (clippy -D warnings analog, cargo.yml:27-36): no ruff in

@@ -113,6 +113,36 @@ def main():
                       aspect_ratio=width / height)
     rays_200, dt_200 = run(s200, "pallas", 16, rr=True)
 
+    # BASELINE.md's literal metric, MEASURED (VERDICT r4 item 4 — stop
+    # extrapolating): wall-clock to 1000 spp at 800x600 on scene_500,
+    # production config (RR, depth 16). 20 host dispatches of 50 spp (one
+    # compiled program; single dispatches are kept short for the tunnel).
+    from raytracer_tpu.utils.config import RenderConfig as _RC
+    cfg1000 = _RC(width=width, height=height, samples_per_pixel=1000,
+                  max_depth=16, spp_chunk=1, host_spp_batch=50,
+                  intersector="pallas")
+    warm, _ = pt.render_fn(scene, key, width=width, height=height, spp=50,
+                           spp_chunk=1, max_depth=16, t_min=1e-3,
+                           spawn_eps_rel=1e-4, intersector="pallas",
+                           russian_roulette=True)
+    jax.block_until_ready(warm)
+    t0 = time.time()
+    img1000, _rays1000 = pt.render(scene, cfg1000, key)
+    jax.block_until_ready(img1000)
+    dt_1000 = time.time() - t0
+
+    # volumetric-media tax (VERDICT r4 item 3): cornell_smoke (config-4/5
+    # scene class, medium.rs:26-53) falls off the SoA kernel path to the
+    # (N,3) XLA wavefront — track it round over round, with the plain-
+    # Cornell kernel-path time at identical settings as the denominator.
+    from raytracer_tpu.scene.builtin import cornell_smoke
+    from raytracer_tpu.scene.builtin import cornell_box as _cbox
+    kw_sm = dict(width=400, height=400, spp=32, spp_chunk=4, max_depth=16,
+                 t_min=1e-3, spawn_eps_rel=1e-4)
+    (img_sm, _), dt_smoke = _timed(pt.render_fn, cornell_smoke(), key,
+                                   **kw_sm)
+    (img_cb, _), dt_cb = _timed(pt.render_fn, _cbox(), key, **kw_sm)
+
     # SPPM iteration (the reference's actual algorithm): Cornell 400x400,
     # 250k photons, dense photon-query kernel
     from raytracer_tpu.models import sppm
@@ -212,6 +242,7 @@ def main():
         "mrays_leaf": round(mrays_l, 2),
         "wallclock_s_per_32spp": round(dt_l if best == "leaf" else dt_p, 3),
         "wallclock_s_per_32spp_rr": round(dt_rr, 3),
+        "s_to_1000spp_measured": round(dt_1000, 1),
         "extrapolated_s_to_1000spp": round(dt_rr * (1000 / spp_timed), 1),
         "depth50_rr_s_per_32spp": round(dt50, 3),
         "depth50_mrays": round(rays50 / dt50 / 1e6, 2),

@@ -1,4 +1,4 @@
-"""Morton ray-sort A/B on the large-scene walks (round 4).
+"""Morton ray-sort A/B on the large-scene walks (rounds 4-5).
 
 Bounce wavefronts are incoherent: a ray tile's alive-origin AABB spans
 the whole scene, so the ordered superchunk walk's near-to-far order and
@@ -8,7 +8,15 @@ Morton-of-origin order around the kernel call (bit-identical results —
 uniforms travel with the lanes) so tiles stay spatially tight and dead
 lanes compact into whole skippable tiles.
 
-Usage: python experiments/ray_sort_bench.py [--small]
+Round-5 rewrite: drive pt.render_fn with EXACTLY bench.py's config
+(spawn_eps_rel=1e-4 — the round-4 version passed an absolute 1e-3,
+~60x too small at field scale, which inflated paths with self-
+intersection acne and invalidated its numbers; it was also never run
+on the real chip, VERDICT r4 weak #1).
+
+Usage: python experiments/ray_sort_bench.py [field64k|field160k|mesh124k]
+Runs sort=0 then sort=1 for the named scene (default field64k); one
+scene per process keeps dispatches short for the TPU tunnel.
 """
 
 import os
@@ -20,44 +28,45 @@ sys.path.insert(0, "/root/repo")
 import jax
 import numpy as np
 
+SCENES = {
+    "field64k": ("sphere_field", 65536, 32),
+    "field160k": ("sphere_field", 163840, 8),
+    "mesh124k": ("bunny_field", 25, 8),
+}
 
-def run(mode: str, small: bool):
+
+def run(mode: str, name: str):
     os.environ["RAYTRACER_TPU_RAY_SORT"] = mode
     jax.clear_caches()
-    from raytracer_tpu.models.wavefront_soa import render_regen_soa
-    from raytracer_tpu.scene.builtin import sphere_field, bunny_field
+    from raytracer_tpu.models import path_tracer as pt
+    from raytracer_tpu.scene import builtin
 
-    out = {}
-    for name, scene, spp in (
-        ("field64k", sphere_field(65536), 8 if small else 32),
-        ("mesh124k", bunny_field(25), 4 if small else 8),
-    ):
-        w, h = (200, 150) if small else (800, 600)
-        kw = dict(width=w, height=h, lanes_per_pixel=1,
-                  samples_per_lane=spp, max_depth=16, t_min=1e-3,
-                  spawn_eps=1e-3, intersector="pallas",
-                  russian_roulette=True)
-        img, rays, _ = render_regen_soa(scene, jax.random.PRNGKey(0), **kw)
-        jax.block_until_ready(img)
+    ctor, arg, spp = SCENES[name]
+    scene = getattr(builtin, ctor)(arg)
+    kw = dict(width=800, height=600, spp=spp, spp_chunk=1, max_depth=16,
+              t_min=1e-3, spawn_eps_rel=1e-4, intersector="pallas",
+              russian_roulette=True)
+    img, rays = pt.render_fn(scene, jax.random.PRNGKey(0), **kw)
+    jax.block_until_ready(img)
+    best = 1e30
+    for _ in range(2):
         t0 = time.perf_counter()
-        img, rays, _ = render_regen_soa(scene, jax.random.PRNGKey(0), **kw)
+        img, rays = pt.render_fn(scene, jax.random.PRNGKey(0), **kw)
         jax.block_until_ready(img)
-        dt = time.perf_counter() - t0
-        mean = float(np.asarray(img).mean()) / spp
-        print(f"sort={mode} {name:9s} {dt:7.3f} s  "
-              f"{int(rays)/dt/1e6:6.2f} Mrays/s  mean={mean:.5f}",
-              flush=True)
-        out[name] = dt
-    return out
+        best = min(best, time.perf_counter() - t0)
+    mean = float(np.asarray(img).mean())
+    print(f"sort={mode} {name:9s} {best:7.3f} s/{spp}spp  "
+          f"{int(rays)/best/1e6:6.2f} Mrays/s  mean={mean:.5f}",
+          flush=True)
+    return best
 
 
 def main():
-    small = "--small" in sys.argv
-    off = run("0", small)
-    on = run("1", small)
-    for k in off:
-        print(f"{k}: {off[k]:.3f} -> {on[k]:.3f} s "
-              f"({off[k]/on[k]:.2f}x)", flush=True)
+    name = sys.argv[1] if len(sys.argv) > 1 else "field64k"
+    off = run("0", name)
+    on = run("1", name)
+    print(f"{name}: off {off:.3f} s / on {on:.3f} s -> "
+          f"sort costs {on / off:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,8 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     ops/mis.py) — diffuse vertices sample a 50/50 cosine/light-direction
     mixture and reweight throughput by pdf_cos/pdf_mix. Mutually exclusive
     with ``nee`` (both are variance reducers for direct light); runs on
-    the XLA wavefront (the SoA regen path has no mixture plumbing)."""
+    the SoA fast path too (wavefront_soa._mis_bounce — the reweight is
+    elementwise, so ``--mis`` keeps the production regen wavefront)."""
     if mis and nee:
         raise ValueError("--mis and --nee are mutually exclusive")
     n = o.shape[0]
@@ -105,13 +106,13 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     # models/wavefront_soa.py). Same semantics, same key streams.
     from raytracer_tpu.ops.dispatch import _resolve
     method = _resolve(scene, intersector, has_time=time is not None)
-    if (method in ("pallas", "leaf") and not mis
+    if (method in ("pallas", "leaf")
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import trace_radiance_soa
         radiance, rays = trace_radiance_soa(
             scene, o, d, key, max_depth=max_depth, t_min=t_min,
             spawn_eps=spawn_eps, intersector=method,
-            russian_roulette=russian_roulette, nee=nee, time=time)
+            russian_roulette=russian_roulette, nee=nee, mis=mis, time=time)
         return TraceResult(radiance, rays)
 
     class S(NamedTuple):
@@ -218,14 +219,15 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
     # has_time=True: the regen wavefront draws per-sample shutter times
     # itself when the scene moves, so moving scenes ride the kernel path
     method = _resolve(scene, intersector, has_time=True)
-    if (method in ("pallas", "leaf") and not mis
+    if (method in ("pallas", "leaf")
             and (scene.media is None or not scene.media.kind.shape[0])):
         from raytracer_tpu.models.wavefront_soa import render_regen_soa
         accum, rays, _steps = render_regen_soa(
             scene, key, width=width, height=height,
             lanes_per_pixel=spp_chunk, samples_per_lane=n_chunks,
             max_depth=max_depth, t_min=t_min, spawn_eps=spawn_eps,
-            intersector=method, russian_roulette=russian_roulette, nee=nee)
+            intersector=method, russian_roulette=russian_roulette, nee=nee,
+            mis=mis)
         img = accum / (n_chunks * spp_chunk)
         return img.reshape(height, width, 3), rays
 

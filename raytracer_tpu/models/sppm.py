@@ -663,6 +663,14 @@ def render(scene: Scene, config: RenderConfig, key,
     total = config.samples_per_pixel
     lane_budget = max(1, 16_000_000 // npix)
     batch = max(1, min(config.host_spp_batch, total, lane_budget))
+    # prefer the largest batch <= cap that DIVIDES total: a non-divisor
+    # leaves a remainder dispatch with different static spp — a second
+    # full gather compile (~40-60 s over the tunnel at 800x800) for a
+    # handful of samples (round-5 sppm_full wall-clock work)
+    for d in range(batch, 0, -1):
+        if total % d == 0:
+            batch = d
+            break
     # wavefronts above ~1.5M lanes push the padded loop temps into HBM
     # pressure (XLA starts compressing/rematting buffers: measured 0.81 vs
     # 1.47 s/spp at 800x800 for 1.28M vs 2.56M lanes — ROUND_NOTES round 2)

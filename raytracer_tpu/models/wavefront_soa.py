@@ -379,24 +379,19 @@ def use_fused(scene: Scene, intersector: str) -> bool:
 
 
 def use_sort(scene: Scene, intersector: str) -> bool:
-    """Morton ray sorting pays only when the kernel has per-tile culling
-    with something to cull: sphere tables big enough for the ordered
-    superchunk walk (pallas_intersect._wants_order) or tables past the
-    slab thresholds (the slab chain culls each slab by the tile's alive
-    AABB). Small scenes (Cornell, scene_500's single-digit chunk count)
-    skip it — the per-step argsort would outweigh the cull win.
-    Override with RAYTRACER_TPU_RAY_SORT=0/1."""
+    """Morton ray sorting: OFF by default — measured on the real chip
+    (round 5, experiments/ray_sort_bench.py at production config) the
+    per-step argsort + 13-array gather/inverse-gather costs far more than
+    the tile-coherence win on every large scene: field64k 6.11 -> 14.20 s
+    per 32spp (2.32x), reproducing BENCH_r04's regression exactly (the
+    round-4 auto-on gate shipped with a bit-identity test but no TPU
+    timing; round 2 had already measured ~70 ms/step for a 960k-lane
+    argsort vs a 6-7 ms kernel win, ROUND_NOTES r2/r5).
+    RAYTRACER_TPU_RAY_SORT=1 keeps the machinery reachable for A/B."""
     env = os.environ.get("RAYTRACER_TPU_RAY_SORT", "auto")
-    if env == "0" or intersector != "pallas":
+    if intersector != "pallas":
         return False
-    from raytracer_tpu.ops import pallas_intersect as pi
-    if env == "1":
-        return True
-    n_sph = scene.spheres.radius.shape[0]
-    n_tri = scene.triangles.mat_id.shape[0]
-    return (pi._wants_order(n_sph, pi.eff_chunk(n_sph, pi.SPH_CHUNK))
-            or n_sph > pi.SPH_SLAB or n_tri > pi.TRI_SLAB
-            or n_tri > 4 * pi.CHUNK)
+    return env == "1"
 
 
 def _sort_perm(ox, oy, oz, alive):
@@ -503,10 +498,40 @@ def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
                   h.px, h.py, h.pz, h.nx, h.ny, h.nz)
 
 
+def _mis_bounce(scene: Scene, k, b: Bounce, diffuse_now, spawn_eps,
+                time=None) -> Bounce:
+    """``--mis`` on the SoA paths (VERDICT r4 item 5): resample diffuse-
+    vertex directions through the 50/50 cosine/light mixture and reweight
+    attenuation by pdf_cos/pdf_mix (ops/mis.py — all elementwise math plus
+    8 light-table gathers; no extra ray casts, so the fast path stays one
+    intersect per bounce). Key stream matches the XLA wavefront's
+    (fold 61 off the step key), and the spawn origin is re-offset against
+    the possibly light-facing replacement direction."""
+    from raytracer_tpu.ops.mis import mixture_reweight
+    p3 = jnp.stack([b.px, b.py, b.pz], -1)
+    n3 = jnp.stack([b.nx, b.ny, b.nz], -1)
+    d3 = jnp.stack([b.ndx, b.ndy, b.ndz], -1)
+    d_new, w = mixture_reweight(scene, jax.random.fold_in(k, 61), p3, n3,
+                                d3, diffuse_now, time=time)
+    side = jnp.sign(d_new[:, 0] * b.nx + d_new[:, 1] * b.ny
+                    + d_new[:, 2] * b.nz) * spawn_eps
+    rep = diffuse_now
+    return b._replace(
+        ar=jnp.where(rep, b.ar * w, b.ar),
+        ag=jnp.where(rep, b.ag * w, b.ag),
+        ab=jnp.where(rep, b.ab * w, b.ab),
+        nox=jnp.where(rep, b.px + b.nx * side, b.nox),
+        noy=jnp.where(rep, b.py + b.ny * side, b.noy),
+        noz=jnp.where(rep, b.pz + b.nz * side, b.noz),
+        ndx=jnp.where(rep, d_new[:, 0], b.ndx),
+        ndy=jnp.where(rep, d_new[:, 1], b.ndy),
+        ndz=jnp.where(rep, d_new[:, 2], b.ndz))
+
+
 def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
                        t_min: float, spawn_eps, intersector: str,
                        russian_roulette: bool = True, nee: bool = False,
-                       time=None):
+                       mis: bool = False, time=None):
     """SoA twin of path_tracer.trace_radiance for the pallas/leaf
     intersectors (no media; motion blur via per-lane ``time`` — constant
     across a lane's bounces, so it rides the closure, not the carry).
@@ -541,6 +566,8 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
         rb_ = rb_ + jnp.where(emit_ok, tb * b.eb, 0.0)
 
         diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+        if mis:
+            b = _mis_bounce(scene, k, b, diffuse_now, spawn_eps, time=time)
         if nee:
             from raytracer_tpu.ops.nee import direct_light
             p3 = jnp.stack([b.px, b.py, b.pz], -1)
@@ -659,7 +686,8 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
                      lanes_per_pixel: int, samples_per_lane: int,
                      max_depth: int, t_min: float, spawn_eps,
                      intersector: str, russian_roulette: bool = True,
-                     nee: bool = False, pixel_slots=None):
+                     nee: bool = False, mis: bool = False,
+                     pixel_slots=None):
     """Path-REGENERATION wavefront renderer: when a lane's sample retires
     (miss, absorb, RR kill, or depth cap) the lane immediately spawns its
     pixel's NEXT sample — a fresh camera ray, throughput 1, depth 0 — with
@@ -713,7 +741,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             jax.random.fold_in(k, 13), (nl,)) * (cam.time1 - cam.time0)
 
     import os
-    regen_fused = (fused and not nee
+    regen_fused = (fused and not nee and not mis
                    and os.environ.get("RAYTRACER_TPU_REGEN_FUSED") == "1")
 
     def make_body(px_, py_, nl):
@@ -784,6 +812,9 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             sb = sb + jnp.where(emit_ok, tb * b.eb, 0.0)
 
             diffuse_now = alive & (b.inter == INTER_DIFFUSE)
+            if mis:
+                b = _mis_bounce(scene, k, b, diffuse_now, spawn_eps,
+                                time=time)
             if nee:
                 from raytracer_tpu.ops.nee import direct_light
                 p3 = jnp.stack([b.px, b.py, b.pz], -1)

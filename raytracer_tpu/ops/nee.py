@@ -25,48 +25,64 @@ from raytracer_tpu.scene.types import LIGHT_SPHERE, Scene
 
 def sample_li(scene: Scene, key, attrs: HitAttrs, n_samples: int = 4,
               intersector: str = "auto"):
-    """Direct radiance at each shading point: (N, 3)."""
+    """Direct radiance at each shading point: (N, 3).
+
+    Estimator parity with the reference's sum-over-lights (AllLights::
+    sample_li, light.rs:229-234) WITHOUT the per-light unroll: each
+    (lane, sample) picks ONE light by the power-proportional categorical
+    (light.rs:220-225's WeightedIndex) and weights its contribution by
+    1/prob — E[contrib/prob] = sum over lights of contrib, so the mean
+    matches the reference while the trace holds one shadow cast per
+    sample regardless of registered-light count (scene_500 registers 501
+    emitters; the old loop compiled ~2000 casts). Reference quirks kept:
+    shadow window (1e-4, dist-1e-4), no distance falloff (light.rs:120 is
+    commented out), contribution = flux ⊙ bsdf * max(0, n·dir)."""
     n = attrs.p.shape[0]
-    n_lights = scene.lights.kind.shape[0]
+    lights = scene.lights
+    n_lights = lights.kind.shape[0]
     if n_lights == 0:
         return jnp.zeros((n, 3), jnp.float32)
     bsdf_color = mat_ops.bsdf(scene, attrs.mat_id, attrs.p, attrs.uv)
     total = jnp.zeros((n, 3), jnp.float32)
 
-    for li in range(n_lights):
-        kind = scene.lights.kind[li]
-        p0 = scene.lights.p0[li]
-        p1 = scene.lights.p1[li]
-        r0 = scene.lights.r0[li]
-        flux = scene.lights.flux[li]
-        acc = jnp.zeros((n, 3), jnp.float32)
-        for s in range(n_samples):
-            k = jax.random.fold_in(jax.random.fold_in(key, li), s)
-            k1, k2 = jax.random.split(k)
-            # sphere light: hemisphere toward the shading point
-            # (light.rs:110-113)
-            center_to_p = vec.unit(attrs.p - p0[None])
-            sph_pt = p0[None] + sampling.uniform_hemisphere(
-                k1, center_to_p) * r0
-            # rect light: uniform point on the area (light.rs:148-154)
-            uv = jax.random.uniform(k2, (n, 2))
-            rect_pt = jnp.stack([
-                p0[0] + (p1[0] - p0[0]) * uv[:, 0],
-                jnp.broadcast_to(p0[1], (n,)),
-                p0[2] + (p1[2] - p0[2]) * uv[:, 1],
-            ], axis=-1)
-            point = jnp.where(kind == LIGHT_SPHERE, sph_pt, rect_pt)
-            to_light = point - attrs.p
-            dist = jnp.sqrt(vec.dot(to_light, to_light))
-            dir_ = to_light / jnp.maximum(dist, 1e-12)[:, None]
-            hit = intersect_scene(scene, attrs.p, dir_, 1e-4,
-                                  jnp.maximum(dist - 1e-4, 1e-4), intersector)
-            visible = ~jnp.isfinite(hit.t)
-            cos_term = jnp.maximum(vec.dot(attrs.normal, dir_), 0.0)
-            contrib = flux[None] * bsdf_color * cos_term[:, None]
-            acc = acc + jnp.where((visible & attrs.valid)[:, None], contrib, 0.0)
-        total = total + acc / n_samples
-    return total
+    for s in range(n_samples):
+        k = jax.random.fold_in(key, s)
+        k_pick, k1, k2 = jax.random.split(k, 3)
+        if n_lights == 1:
+            idx = jnp.zeros((n,), jnp.int32)
+            inv_prob = 1.0
+        else:
+            idx = jax.random.categorical(k_pick, lights.log_prob,
+                                         shape=(n,))
+            inv_prob = jnp.exp(-lights.log_prob)[idx][:, None]
+        kind = lights.kind[idx]                 # (N,) per-lane params
+        p0 = lights.p0[idx]                     # (N, 3)
+        p1 = lights.p1[idx]
+        r0 = lights.r0[idx][:, None]
+        flux = lights.flux[idx]
+        # sphere light: hemisphere toward the shading point
+        # (light.rs:110-113)
+        center_to_p = vec.unit(attrs.p - p0)
+        sph_pt = p0 + sampling.uniform_hemisphere(k1, center_to_p) * r0
+        # rect light: uniform point on the area (light.rs:148-154)
+        uv = jax.random.uniform(k2, (n, 2))
+        rect_pt = jnp.stack([
+            p0[:, 0] + (p1[:, 0] - p0[:, 0]) * uv[:, 0],
+            p0[:, 1],
+            p0[:, 2] + (p1[:, 2] - p0[:, 2]) * uv[:, 1],
+        ], axis=-1)
+        point = jnp.where((kind == LIGHT_SPHERE)[:, None], sph_pt, rect_pt)
+        to_light = point - attrs.p
+        dist = jnp.sqrt(vec.dot(to_light, to_light))
+        dir_ = to_light / jnp.maximum(dist, 1e-12)[:, None]
+        hit = intersect_scene(scene, attrs.p, dir_, 1e-4,
+                              jnp.maximum(dist - 1e-4, 1e-4), intersector)
+        visible = ~jnp.isfinite(hit.t)
+        cos_term = jnp.maximum(vec.dot(attrs.normal, dir_), 0.0)
+        contrib = flux * inv_prob * bsdf_color * cos_term[:, None]
+        total = total + jnp.where((visible & attrs.valid)[:, None],
+                                  contrib, 0.0)
+    return total / n_samples
 
 
 PI = 3.141592653589793

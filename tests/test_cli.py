@@ -30,6 +30,7 @@ def test_render_scene_file_with_bvh(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_render_sppm_checkpoint_resume(tmp_path):
     out = str(tmp_path / "sppm.png")
     ck = str(tmp_path / "state.npz")

@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracer_tpu.models import path_tracer
 from raytracer_tpu.ops import intersect as ix
@@ -29,6 +30,7 @@ class TestMedia:
         b.set_camera((0, 0, 0), (0, 0, -1), vfov=40, aspect_ratio=1.0)
         return b.compile()
 
+    @pytest.mark.slow
     def test_medium_attenuates_light(self, key):
         cfg = RenderConfig(width=24, height=24, samples_per_pixel=32,
                            spp_chunk=8, max_depth=16)
@@ -174,6 +176,7 @@ class TestMotionBlur:
                      time0=0.0, time1=1.0)
         return b.compile()
 
+    @pytest.mark.slow
     def test_moving_sphere_smears(self, key):
         cfg = RenderConfig(width=32, height=32, samples_per_pixel=16,
                            spp_chunk=4, max_depth=3)
@@ -251,6 +254,7 @@ class TestTransformRotation:
         np.testing.assert_allclose(np.abs(nrm), [s, 0, s], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cornell_smoke_builtin(key):
     """cornell_smoke: media at render scale (book-2 cornell_smoke class).
     Must render finite and nonzero end-to-end on the XLA wavefront

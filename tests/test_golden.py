@@ -11,6 +11,7 @@ f64 oracle) and the analytic oracles in test_render/test_nee."""
 import os
 
 import jax
+import pytest
 import numpy as np
 
 from raytracer_tpu.models import path_tracer, sppm
@@ -44,6 +45,7 @@ def test_golden_three_spheres():
     check_against("three_spheres_32.npz", img)
 
 
+@pytest.mark.slow
 def test_golden_cornell_sppm():
     cfg = RenderConfig(width=32, height=32, samples_per_pixel=32, spp_chunk=8,
                        max_depth=12,
@@ -56,6 +58,7 @@ def test_golden_cornell_sppm():
     check_against("cornell_sppm_32.npz", img)
 
 
+@pytest.mark.slow
 def test_golden_motion_field():
     """Regression anchor for the motion-blur path (kernel velocity rows +
     regen per-sample times): a different seed partition or a c+v*t change

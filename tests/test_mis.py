@@ -22,6 +22,7 @@ def _shoot(scene, n, seed, depth=2, **kw):
     return np.asarray(res.radiance)
 
 
+@pytest.mark.slow
 def test_mis_mean_matches_pt_with_lower_variance():
     """VERDICT r3 item 9: mean unchanged, variance down. The mixture
     reweight (attenuation * pdf_cos/pdf_mix) must leave the estimand
@@ -109,3 +110,52 @@ def test_mis_many_lights_shares_light_table():
     np.testing.assert_allclose(r_mis.mean(), r_pt.mean(),
                                atol=4 * se + 3e-4)
     assert r_mis.mean(-1).std() < r_pt.mean(-1).std()
+
+
+def test_mis_runs_on_soa_fast_path():
+    """VERDICT r4 item 5: --mis must ride the production SoA path, not
+    silently buy the (N,3) XLA wavefront. trace_radiance with
+    intersector='pallas' + mis routes through wavefront_soa (the gate no
+    longer excludes mis) and keeps the plain-PT mean."""
+    scene = cornell_box()
+    n = 16384
+    kw = dict(max_depth=4, t_min=1e-3, spawn_eps=0.05,
+              russian_roulette=False)
+    o = jnp.broadcast_to(jnp.asarray([278.0, 120.0, 278.0]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    r_pt = np.asarray(trace_radiance(
+        scene, o, d, jax.random.PRNGKey(3), intersector="pallas",
+        **kw).radiance)
+    r_mis = np.asarray(trace_radiance(
+        scene, o, d, jax.random.PRNGKey(4), intersector="pallas",
+        mis=True, **kw).radiance)
+    # the strongest pin: the SoA mixture plumbing follows the XLA
+    # wavefront's SAME sample stream (fold-61 keys, same reweight math) —
+    # identical up to intersector ulps (pallas vs bruteforce hit points
+    # differ in the last bit, which perturbs the pdfs by ~1e-7)
+    r_mis_xla = np.asarray(trace_radiance(
+        scene, o, d, jax.random.PRNGKey(4), intersector="bruteforce",
+        mis=True, **kw).radiance)
+    np.testing.assert_allclose(r_mis, r_mis_xla, atol=1e-5, rtol=1e-3)
+    se = r_pt.mean(-1).std() / np.sqrt(n)
+    np.testing.assert_allclose(r_mis.mean(), r_pt.mean(),
+                               atol=4 * se + 4 * r_mis.mean(-1).std()
+                               / np.sqrt(n) + 1e-4)
+    assert r_mis.mean(-1).std() < 0.8 * r_pt.mean(-1).std()
+
+
+def test_mis_regen_render_matches_plain_pt():
+    """render_fn(mis=True) takes the regen wavefront (render_regen_soa)
+    and keeps the plain-PT image mean on Cornell."""
+    from raytracer_tpu.models.path_tracer import render_fn
+    scene = cornell_box()
+    kw = dict(width=48, height=48, spp_chunk=4, max_depth=6, t_min=1e-3,
+              spawn_eps_rel=1e-4, intersector="pallas",
+              russian_roulette=False)
+    img_pt, _ = render_fn(scene, jax.random.PRNGKey(5), spp=64, **kw)
+    img_mis, _ = render_fn(scene, jax.random.PRNGKey(6), spp=16,
+                           mis=True, **kw)
+    img_pt, img_mis = np.asarray(img_pt), np.asarray(img_mis)
+    assert np.isfinite(img_mis).all()
+    np.testing.assert_allclose(img_mis.mean(), img_pt.mean(),
+                               rtol=0.12, atol=2e-4)

@@ -90,6 +90,7 @@ def test_motion_attrs_effective_center():
                                   np.asarray(attrs.front_face)[sel])
 
 
+@pytest.mark.slow
 def test_motion_slabbed_matches_single():
     """Morton-slabbed motion: velocity rows ride the slab gathers (the
     scan xs) and every slab tests c + v*t; parity vs the single-kernel
@@ -107,6 +108,7 @@ def test_motion_slabbed_matches_single():
     _assert_hits_equal(h1, h2, tb_tol=1e-5)
 
 
+@pytest.mark.slow
 def test_motion_ordered_walk_matches_bruteforce():
     """Large moving fields take the per-tile ordered superchunk walk; its
     SMEM cull tables are the shutter-dilated AABBs, so fast movers stay
@@ -129,6 +131,7 @@ def test_motion_resolve_rules():
     assert _resolve(scene, "bruteforce", has_time=True) == "bruteforce"
 
 
+@pytest.mark.slow
 def test_motion_render_regen_matches_aos(key):
     """render_fn routes moving scenes through the regenerating SoA
     wavefront (per-sample shutter times in the lane carry); flux must

@@ -8,6 +8,7 @@ for the white floor (albedo 0.73) and the (213,343)x(227,332) rect light at
 y=554 with Le=(1,1,1) (scene.rs:26-32)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +36,7 @@ def test_nee_matches_analytic_direct_lighting():
     np.testing.assert_allclose(mean, ORACLE, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_nee_same_mean_as_plain_pt():
     # NEE extends every diffuse path by one light connection, so
     # NEE(depth D) covers the same transport as plain PT(depth D+1)
@@ -47,6 +49,7 @@ def test_nee_same_mean_as_plain_pt():
     np.testing.assert_allclose(m_ne, m_pt, rtol=0.12)
 
 
+@pytest.mark.slow
 def test_nee_lower_variance():
     r_pt = shoot(nee=False, n=8192, seed=3, max_depth=2)
     r_ne = shoot(nee=True, n=8192, seed=4, max_depth=1)
@@ -96,6 +99,7 @@ def test_nee_full_render_finite():
     assert img[8:24, 8:24].mean() > 1e-3
 
 
+@pytest.mark.slow
 def test_nee_many_lights_single_shadow_cast():
     """Round-4 VERDICT item 5: direct_light picks ONE light per lane with
     the power-proportional categorical (light.rs:220-225 analog) instead of

@@ -4,6 +4,7 @@ on CPU; the same kernel compiles natively on TPU)."""
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,7 @@ def test_pallas_respects_tmax():
     assert np.isinf(np.asarray(h.t))[0]
 
 
+@pytest.mark.slow
 def test_ordered_walk_matches_static_and_brute():
     """Large sphere tables route through the per-tile ordered superchunk
     walk (pallas_intersect.stage_ordered). Its winners must be
@@ -145,6 +147,7 @@ def _assert_walks_equal(h_ord, h_st, alive):
     assert (np.asarray(h_ord.prim_idx)[a] == np.asarray(h_st.prim_idx)[a]).all()
 
 
+@pytest.mark.slow
 def test_tri_ordered_walk_matches_static_and_brute():
     """Multi-chunk tri tables (bun315 = 4,968 tris -> 16 padded chunks)
     route through the same per-tile ordered superchunk walk as sphere
@@ -166,6 +169,7 @@ def test_tri_ordered_walk_matches_static_and_brute():
     _assert_walks_equal(h_ord, h_st, alive)
 
 
+@pytest.mark.slow
 def test_both_stages_ordered_matches_static():
     """Spheres AND triangles ordered in the same kernel call: the tri
     stage's word/cull base offsets into the shared SMEM tables must not
@@ -185,6 +189,7 @@ def test_both_stages_ordered_matches_static():
     _assert_walks_equal(h_ord, h_st, alive)
 
 
+@pytest.mark.slow
 def test_slabbed_run_matches_single(key):
     """Morton-slabbed multi-call dispatch (tables beyond one kernel's VMEM
     capacity) must agree with the single-kernel path: same winner t/type
@@ -234,6 +239,7 @@ def test_slabbed_rects_and_tris_once(key):
     np.testing.assert_array_equal(np.asarray(ty1), np.asarray(ty2))
 
 
+@pytest.mark.slow
 def test_tri_slabbed_run_matches_single(key):
     """Triangle slabbing (TRI_SLAB forced below the bunny's 4,968 tris)
     must agree with the single-kernel path: same winner t/type, tri ids
@@ -296,6 +302,7 @@ def test_slabbed_kernel_trace_count(key):
     assert calls == 2, calls         # slab 0 + one scanned body
 
 
+@pytest.mark.slow
 def test_ordered_walk_reach_clamp_boundary_grazing():
     """ADVICE r3: stage_ordered's reach cap (t_cap = leave*1.001 + 1e-4,
     the lane's exit-t from the stage AABB) must never flip a true hit to a

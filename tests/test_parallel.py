@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the 8-virtual-CPU-device mesh."""
 
 import jax
+import pytest
 import numpy as np
 
 from raytracer_tpu.parallel import render as prender
@@ -39,6 +40,7 @@ def test_2d_mesh_px_times_spp(key):
     assert np.isfinite(img).all() and img.max() > 0.01
 
 
+@pytest.mark.slow
 def test_sharded_vs_single_device_statistics(key):
     """Sharded and single-device renders use different RNG partitions, so
     images agree statistically, not bitwise: compare means.
@@ -71,6 +73,7 @@ def test_spp_axis_psum_equivalence(key):
     assert int(rays) >= 16 * 16 * 8
 
 
+@pytest.mark.slow
 def test_sharded_ordered_walk_runs(key):
     """The per-tile ordered superchunk walk (large sphere tables route it
     by default) must compile and run under shard_map — the per-shard order
@@ -102,6 +105,7 @@ def test_pixel_padding_nondivisible(key):
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_sharded_motion_blur_threads_times(key):
     """Moving scenes must draw per-sample shutter times under shard_map
     (parallel/render.py regen + fallback paths). A silent t=0 freeze —

@@ -1,6 +1,7 @@
 """Sharded SPPM iteration on the 8-virtual-device mesh."""
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.models import sppm as sppm_model
 from raytracer_tpu.parallel import render as prender
@@ -23,6 +24,7 @@ def run_iters(n_iters, key):
     return scene, state
 
 
+@pytest.mark.slow
 def test_sharded_sppm_state_behaves(key):
     scene, state = run_iters(2, key)
     g = state.glob
@@ -35,6 +37,7 @@ def test_sharded_sppm_state_behaves(key):
     assert np.isfinite(flux).all() and flux.max() > 0
 
 
+@pytest.mark.slow
 def test_sharded_sppm_gather_image(key):
     scene, state = run_iters(2, key)
     img, rays = sppm_model.gather_fn(
@@ -46,6 +49,7 @@ def test_sharded_sppm_gather_image(key):
     assert img[6:18, 6:18].mean() > 0.01  # lit interior
 
 
+@pytest.mark.slow
 def test_sharded_gather_matches_single_device(key):
     """The SHARDED final gather must agree statistically with the
     single-device gather_fn on the same state (camera.rs:66-128 executor
@@ -72,6 +76,7 @@ def test_sharded_gather_matches_single_device(key):
     assert abs(m1 - m2) / max(m1, 1e-9) < 0.03, (m1, m2)
 
 
+@pytest.mark.slow
 def test_sharded_full_render_smoke(key):
     """render_sppm end to end (iterations + gather) on the CPU mesh."""
     import dataclasses

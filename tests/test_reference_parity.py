@@ -17,6 +17,7 @@ import sys
 import os
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
@@ -25,6 +26,7 @@ import oracle_np  # noqa: E402
 from raytracer_tpu.scene.builtin import cornell_box  # noqa: E402
 
 
+@pytest.mark.slow
 def test_pt_parity_cornell():
     """Mean and interior-block agreement of the f32 wavefront PT against
     the f64 oracle PT (same scene tables, independent transport code)."""
@@ -47,6 +49,7 @@ def test_pt_parity_cornell():
     np.testing.assert_allclose(c_j, c_o, rtol=0.25)
 
 
+@pytest.mark.slow
 def test_sppm_parity_cornell():
     """Full-pipeline SPPM parity: production (grid/density-init, f32, TPU
     kernels in interpret mode) vs oracle (brute-force queries, true kNN

@@ -1,6 +1,7 @@
 """SPPM integrator tests (tiny Cornell on CPU)."""
 
 import jax
+import pytest
 import numpy as np
 
 from raytracer_tpu.models import path_tracer, sppm
@@ -18,6 +19,7 @@ def tiny_config(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.slow
 def test_sppm_cornell_bright_and_finite(key):
     """The SPPM Cornell image must be far brighter than the naive-PT one:
     the light's photon power carries scale=1e6 (scene.rs:31) while its Le
@@ -91,6 +93,7 @@ def test_emit_photons_soa_matches_aos(key):
                                np.stack([wr, wg, wb], -1), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_photon_regen_flux_matches_plain(key):
     """The regenerating photon pass is a different (but unbiased) stream
     assignment over the same per-photon process: total deposited flux and
@@ -132,6 +135,7 @@ def test_photon_regen_budget_respected(key):
     assert np.asarray(comps[9]).sum() > 0
 
 
+@pytest.mark.slow
 def test_photon_regen_window_close_rescale(key):
     """Force the window to close before the budget is spent: spawned < B,
     and the nominal/actual power rescale must keep the total deposited

@@ -4,6 +4,7 @@ same key derivation they should be statistically equivalent and touch the
 same structure."""
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.models import sppm
 from raytracer_tpu.scene.builtin import cornell_box
@@ -16,6 +17,7 @@ KW = dict(width=24, height=24, n_photons=6000, max_photon_bounces=6,
           query_chunk=128)
 
 
+@pytest.mark.slow
 def test_blocked_matches_monolithic_shapewise(key):
     scene = cornell_box(with_mesh=False)
     npix = 24 * 24
@@ -32,6 +34,7 @@ def test_blocked_matches_monolithic_shapewise(key):
     assert np.isfinite(np.asarray(blk.glob.flux)).all()
 
 
+@pytest.mark.slow
 def test_blocked_nondivisible_tail(key):
     scene = cornell_box(with_mesh=False)
     npix = 24 * 24  # 576; block 500 leaves a 76-pixel tail

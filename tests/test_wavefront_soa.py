@@ -27,6 +27,7 @@ def _trace_aos(scene, o, d, key, **kw):
                              **kw)
 
 
+@pytest.mark.slow
 def test_soa_matches_aos_cornell():
     scene = cornell_box(with_mesh=True)
     n = 4096
@@ -125,6 +126,7 @@ def test_soa_image_texture_scene():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_bounce_matches_unfused():
     """The fused bounce megakernel (intersect+attrs+texture+scatter in one
     pallas call, fed the same uniform rows) must match the unfused
@@ -151,6 +153,7 @@ def test_fused_bounce_matches_unfused():
                                        err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_render_matches_unfused_render():
     """Full regen render through the fused kernel vs the unfused stage:
     same keys, same estimator — images agree to FP tolerance."""
@@ -186,6 +189,7 @@ def _render_regen_gated(scene, key, kw, gate):
             os.environ["RAYTRACER_TPU_REGEN_FUSED"] = old
 
 
+@pytest.mark.slow
 def test_regen_megakernel_matches_xla_body():
     """Megakernel v2 (the ENTIRE regen-loop body — emission, RR,
     retire/quota accounting, camera respawn — in one pallas call) vs the
@@ -207,6 +211,7 @@ def test_regen_megakernel_matches_xla_body():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_regen_megakernel_motion_matches_xla_body():
     """Motion twin: the kernel's per-lane shutter-time respawn (uni row 9
     + cam time0/time1) must reproduce the XLA body's U_TIME stream."""
@@ -236,6 +241,7 @@ def _fresh_compile_state():
     yield
 
 
+@pytest.mark.slow
 def test_regen_drain_compaction_unbiased(key):
     """The two-phase drain (one-shot compaction of straggler lanes into a
     small wavefront) is a pure state reorganization: phase-1 streams are
@@ -266,6 +272,7 @@ def test_regen_drain_compaction_unbiased(key):
     assert abs(m1 - m2) / max(m1, 1e-9) < 0.06, (m1, m2)
 
 
+@pytest.mark.slow
 def test_gather_regen_drain_compaction(key):
     """Same two-phase drain check for the SPPM gather twin."""
     from raytracer_tpu.models import wavefront_soa as ws
@@ -313,19 +320,24 @@ def test_sorted_bounce_bitwise_matches_unsorted(key):
 
 
 def test_use_sort_gate():
-    """Auto gate: big sphere tables sort, small scenes don't; env forces."""
+    """Sort is OFF in auto mode everywhere — the round-5 TPU A/B measured
+    the per-step argsort at 2.3x the whole render on field64k (6.11 ->
+    14.20 s/32spp; the r4 auto-on gate was never timed on chip and caused
+    BENCH_r04's large-scene regression). Env=1 still forces it on (the
+    sorted path stays bit-identical, pinned by
+    test_sorted_bounce_bitwise_matches_unsorted)."""
     import os
     from raytracer_tpu.models.wavefront_soa import use_sort
     from raytracer_tpu.scene.builtin import sphere_field
     small = three_spheres()
     big = sphere_field(8192)
     assert not use_sort(small, "pallas")
-    assert use_sort(big, "pallas")
+    assert not use_sort(big, "pallas")
     assert not use_sort(big, "leaf")
-    os.environ["RAYTRACER_TPU_RAY_SORT"] = "0"
+    os.environ["RAYTRACER_TPU_RAY_SORT"] = "1"
     try:
-        assert not use_sort(big, "pallas")
-        os.environ["RAYTRACER_TPU_RAY_SORT"] = "1"
         assert use_sort(small, "pallas")
+        assert use_sort(big, "pallas")
+        assert not use_sort(big, "leaf")
     finally:
         os.environ.pop("RAYTRACER_TPU_RAY_SORT", None)
