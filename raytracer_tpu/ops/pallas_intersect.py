@@ -80,20 +80,24 @@ from raytracer_tpu.scene.types import (
 # tile_width_bench + tile_scene_sweep: scene_500 noRR 43.7 (256-era 42) ->
 # 53.2 (512) -> 59.7 Mrays/s (1024); RR 54.1 -> 60.5; scene_10 RR 115.7 ->
 # 127.4; motion1k 25.3 -> 26.7; field64k walk ties (6.06 vs 6.11 s). But
-# TRIANGLE scenes regress hard at 1024 (bunny_field 124k tris: 6.28 ->
-# 11.77 s per 8spp — the tri walk's per-tile alive-AABB spans 4 pixel
-# blocks and walks ~2x the chunks, and (tri_chunk, TILE) pair matrices
-# double), so the tile width is chosen PER CALL by tile_for(): a pure
-# function of the static table sizes (cache-key safe under jit).
-TILE = 512       # tri-walk scenes; also the leaf/bvh kernel's tile
+# TRIANGLE scenes want 256: the round-4 TILE-512 commit re-validated only
+# the sphere walk; round 5's A/B (experiments/tri_tile_bench.py, v5e,
+# bunny_field 124k tris, 800x600 8spp RR) measured 512 -> 10.72 s,
+# 256 -> 6.23 s, 128 -> 7.15 s — at 512 the tri walk's per-tile alive-
+# AABB spans 4 pixel blocks and walks ~2x the chunks, and (tri_chunk,
+# TILE) pair matrices double. The tile width is chosen PER CALL by
+# tile_for(): a pure function of the static table sizes (cache-key safe
+# under jit).
+TILE = 512       # the leaf/bvh kernel's tile
+TILE_TRI = 256   # tri-walk scenes (real triangle table past one chunk)
 TILE_SPH = 1024  # sphere/rect scenes (no tri table beyond one chunk)
 
 
 def tile_for(n_tri: int) -> int:
-    """Ray-tile width for a kernel call — 512 when a real triangle table
+    """Ray-tile width for a kernel call — 256 when a real triangle table
     is present (more than one chunk), else 1024. Pure in the static table
     sizes, so jit caches keyed on (n_sph, n_rect, n_tri) stay coherent."""
-    return TILE if n_tri > CHUNK else TILE_SPH
+    return TILE_TRI if n_tri > CHUNK else TILE_SPH
 CHUNK = 512        # rect/tri chunk width
 # Sphere chunk width. Finer chunks enable more selective per-chunk AABB
 # culling but add per-chunk fixed costs (reductions, extraction). Round 3's
