@@ -262,6 +262,9 @@ def main():
         "scene10_s_per_100spp_400x225": round(dt_10, 3),
         "mrays_scene200": round(rays_200 / dt_200 / 1e6, 2),
         "scene200_s_per_32spp": round(dt_200, 3),
+        "smoke_s_per_32spp_400": round(dt_smoke, 3),
+        "cornell_s_per_32spp_400": round(dt_cb, 3),
+        "media_tax_x": round(dt_smoke / dt_cb, 2),
         "numeric_ok": not golden_failures,
         "numeric_failures": golden_failures,
         "backend": jax.default_backend(),

@@ -27,7 +27,9 @@ pi.SPH_CHUNK = int(sys.argv[1])
 pi.SUPER = int(sys.argv[2])
 pi.ORDER_MIN_CHUNKS = int(sys.argv[3])
 if len(sys.argv) > 4:
-    pi.TILE = int(sys.argv[4])
+    pi.TILE_SPH = int(sys.argv[4])
+if len(sys.argv) > 5:
+    pi.SPH_SUB = int(sys.argv[5])
 
 from raytracer_tpu.models import path_tracer as pt
 from raytracer_tpu.scene.loader import load_scene
@@ -59,6 +61,7 @@ kwn = dict(kw, russian_roulette=False)
 dtn, (imgn, raysn) = timeit(pt.render_fn, sc, jax.random.PRNGKey(1),
                             reps=2, **kwn)
 print(f"chunk={pi.SPH_CHUNK} super={pi.SUPER} min={pi.ORDER_MIN_CHUNKS} "
+      f"tile={pi.TILE_SPH} sub={pi.SPH_SUB} "
       f"(n={n_s} k_ch={k_ch} ordered={ordered}): "
       f"RR {dt:5.2f} s ({int(rays)/dt/1e6:5.1f} Mrays/s)  "
       f"noRR {dtn:5.2f} s ({int(raysn)/dtn/1e6:5.1f} Mrays/s)  "

@@ -109,6 +109,16 @@ CHUNK = 512        # rect/tri chunk width
 # 64k field (ordered walk) 6.53 -> 6.10 s per 32spp render, 512 ties 256.
 SPH_CHUNK = 256
 SUPER = 8          # sphere chunks per superchunk AABB (two-level cull)
+# Sub-chunk cull granularity for FLAT-scan sphere tables (headline scale):
+# candidate tests are gated per SPH_SUB-wide sub-block while the winner
+# fold stays chunk-wide — measured cull rates at 1005 spheres: 460
+# pairs/ray at chunk-256 gating vs 260 at 64-wide gating, while an
+# all-64-chunk scan and the ordered walk both LOSE to the 4-chunk scan on
+# per-chunk fixed costs (experiments/headline_cull_stats.py + ROUND_NOTES
+# round 5). 0 disables. Flat tables carry the (6, k*nsub) sub-AABB table
+# in the otherwise-unused scull operand slot.
+SPH_SUB = 64
+SPH_SUB_MIN = 256  # enable sub-gating only for tables at least this big
 N_GEO_SLOTS = 16
 N_FEAT = 12
 N_SLOTS = N_GEO_SLOTS + N_FEAT
@@ -333,6 +343,13 @@ def _pack_spheres(scene: Scene, with_motion: bool = False):
             scull = jnp.concatenate([
                 cull[0:3].reshape(3, k // SUPER, SUPER).min(2),
                 cull[3:6].reshape(3, k // SUPER, SUPER).max(2)], 0)
+        elif (SPH_SUB and sph_chunk > SPH_SUB and sph_chunk % SPH_SUB == 0
+              and n_s >= SPH_SUB_MIN):
+            # flat-scan table: scull carries SPH_SUB-granularity AABBs
+            # instead (sub-chunk cull gating — see SPH_SUB above)
+            scull = jnp.concatenate([
+                lo.reshape(3, -1, SPH_SUB).min(2),
+                hi.reshape(3, -1, SPH_SUB).max(2)], 0)
         else:
             scull = cull
     else:
@@ -537,10 +554,9 @@ def _tile_slab_any(rv: RayVals, box_ref, jc, best_t):
                                box_ref[4, jc], box_ref[5, jc], best_t)
 
 
-def _sphere_chunk_fold(c, rv: RayVals, blk, base):
-    """One sphere chunk's quadratic tests + fold. ``blk`` is the loaded
-    (C, rows) table slice; ``base`` the chunk's first column (python float
-    for the static walk, traced f32 scalar for the ordered walk).
+def _sphere_chunk_tests(rv: RayVals, blk):
+    """Quadratic candidate tests for one (C, rows) sphere table slice:
+    returns (t (C,T), ok (C,T)) for the fold.
 
     NOTE (round-3 layout): moving these dot products onto the MXU was
     measured SLOWER (65 vs 42-47 ms per 960k cast) — the K=3 matmul +
@@ -573,11 +589,24 @@ def _sphere_chunk_fold(c, rv: RayVals, blk, base):
     ok1 = (r1 >= rv.tmin) & (r1 <= rv.tmax)
     ok2 = (r2 >= rv.tmin) & (r2 <= rv.tmax)
     t = jnp.where(ok1, r1, jnp.where(ok2, r2, BIG))
-    # motion tables extract the winner's velocity into slots 4..6 (rows
-    # 18..20 follow the 18 static rows in plane order)
-    slots = SPHERE_SLOTS + (SPH_VEL_SLOTS if has_vel else [])
-    return _fold(c, t, (disc >= 0.0), base, PRIM_SPHERE,
-                 blk, slots, [])
+    return t, (disc >= 0.0)
+
+
+def _sphere_slots(rv: RayVals, blk):
+    """Winner slots for a sphere table slice: motion tables additionally
+    extract the winner's velocity into slots 4..6 (rows 18..20 follow the
+    18 static rows in plane order)."""
+    has_vel = rv.time is not None and blk.shape[1] > SPH_VEL_ROW
+    return SPHERE_SLOTS + (SPH_VEL_SLOTS if has_vel else [])
+
+
+def _sphere_chunk_fold(c, rv: RayVals, blk, base):
+    """One sphere chunk's quadratic tests + fold. ``blk`` is the loaded
+    (C, rows) table slice; ``base`` the chunk's first column (python float
+    for the static walk, traced f32 scalar for the ordered walk)."""
+    t, ok = _sphere_chunk_tests(rv, blk)
+    return _fold(c, t, ok, base, PRIM_SPHERE, blk, _sphere_slots(rv, blk),
+                 [])
 
 
 def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
@@ -594,6 +623,11 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
     if chunk is None:
         chunk = eff_chunk(n_sph, SPH_CHUNK)
     n_ch = -(-n_sph // chunk)
+    nsub = chunk // SPH_SUB if SPH_SUB else 1
+    # flat-scan tables may carry a SUB-granularity cull table in the
+    # (otherwise unused) scull slot — static shape test (pack side gate)
+    sub_gated = (scull_ref is not None and nsub > 1
+                 and scull_ref.shape[1] == n_ch * nsub)
 
     def run_chunk(c, j):
         any_hit = _tile_slab_any(rv, cull_ref, j // chunk, c[0])
@@ -604,11 +638,43 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
 
         return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
 
+    def run_chunk_sub(c, j):
+        """Chunk body with SPH_SUB-granularity gating: each 64-wide
+        sub-block's candidate tests run only when the tile's slab test
+        enters its AABB (bounded by the tile's running best_t), but the
+        winner fold stays ONE chunk-wide _fold — cull selectivity of a
+        4x-finer chunk without 4x the per-chunk fold/extraction fixed
+        cost (round-5 headline work: measured cull rates in
+        experiments/headline_cull_stats.py; the all-fine-chunk scan and
+        the ordered walk both measured SLOWER at this scale)."""
+        jc = j // chunk
+        any_hit = _tile_slab_any(rv, cull_ref, jc, c[0])
+
+        def chunk_body(c, j=j, jc=jc):
+            T = rv.ox.shape[1]
+            miss = (jnp.full((SPH_SUB, T), BIG, jnp.float32),
+                    jnp.zeros((SPH_SUB, T), jnp.bool_))
+            parts = []
+            for s in range(nsub):
+                sub_blk = sph_ref[j + s * SPH_SUB:j + (s + 1) * SPH_SUB, :]
+                sub_any = _tile_slab_any(rv, scull_ref, jc * nsub + s, c[0])
+                parts.append(jax.lax.cond(
+                    sub_any,
+                    lambda sub_blk=sub_blk: _sphere_chunk_tests(rv, sub_blk),
+                    lambda: miss))
+            blk = sph_ref[j:j + chunk, :]
+            return _fold(c, jnp.concatenate([p[0] for p in parts], 0),
+                         jnp.concatenate([p[1] for p in parts], 0),
+                         float(j), PRIM_SPHERE, blk, _sphere_slots(rv, blk),
+                         [])
+
+        return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
+
     # two-level culling needs a whole number of SUPER groups; tables the
     # packer left un-grouped (plain Morton layout) flat-scan their chunks
     if scull_ref is None or n_ch <= SUPER or n_ch % SUPER != 0:
         for j in range(0, n_sph, chunk):
-            carry = run_chunk(carry, j)
+            carry = (run_chunk_sub if sub_gated else run_chunk)(carry, j)
         return carry
 
     # two-level: superchunk slab test gates its SUPER member chunks
@@ -1903,7 +1969,8 @@ def _call_regen(o_t, d_t, tmin, alive, uni_t, px, py, tput, samp, accum,
     if sph_ord or tri_ord:
         words, cullf, sph_cfg, tri_cfg = _build_order_operands(
             o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
-            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+            tile=tile)
         rs = lambda w: pl.BlockSpec((w, tile), lambda i, *_: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(_regen_kernel_ordered, sph_cfg=sph_cfg,
@@ -2019,7 +2086,8 @@ def _call_bounce(o_t, d_t, tmin, alive, uni_t, sph, rect, tri, cull, tcull,
     if sph_ord or tri_ord:
         words, cullf, sph_cfg, tri_cfg = _build_order_operands(
             o_t, alive, cull, scull, tcull, tscull, sph_ord=sph_ord,
-            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk)
+            tri_ord=tri_ord, sph_chunk=sph_chunk, tri_chunk=tri_chunk,
+            tile=tile)
         rs = lambda w: pl.BlockSpec((w, tile), lambda i, *_: (0, i),
                                     memory_space=pltpu.VMEM)
         kernel = functools.partial(

@@ -341,3 +341,80 @@ def test_use_sort_gate():
         assert not use_sort(big, "leaf")
     finally:
         os.environ.pop("RAYTRACER_TPU_RAY_SORT", None)
+
+
+@pytest.mark.slow
+def test_fused_ordered_branches_match_static():
+    """The fused bounce/regen kernels take the per-tile ordered walk when
+    a sphere stage qualifies (_order_flags) — a branch no production scene
+    reached until the round-5 headline chunk sweep, when it surfaced as a
+    missing ``tile=`` kwarg at both _build_order_operands call sites.
+    Pin it: a field big enough to qualify under shrunk chunk constants
+    must render identically through the ordered fused XLA body, the
+    ordered megakernel (env gate), and the static fused scan."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.scene.builtin import sphere_field
+
+    scene = sphere_field(1100)
+    key = jax.random.PRNGKey(21)
+    kw = dict(width=12, height=12, lanes_per_pixel=1, samples_per_lane=2,
+              max_depth=5, t_min=1e-3, spawn_eps=0.01,
+              intersector="pallas", russian_roulette=True)
+
+    old_chunk, old_min = pi.SPH_CHUNK, pi.ORDER_MIN_CHUNKS
+    try:
+        # 1100 spheres @ chunk 128 -> 9 chunks, SUPER-padded to 16 ->
+        # 2 superchunks: qualifies both fused ordered branches
+        pi.SPH_CHUNK, pi.ORDER_MIN_CHUNKS = 128, 8
+        jax.clear_caches()
+        assert pi._wants_order(1101, 128)
+        img_ord, rays_ord, steps_ord = _render_regen_gated(
+            scene, key, kw, "0")      # XLA body -> _call_bounce ordered
+        img_mk, rays_mk, _ = _render_regen_gated(
+            scene, key, kw, "1")      # megakernel -> _call_regen ordered
+
+        pi.ORDER_MIN_CHUNKS = 10 ** 9   # same chunking, static scan
+        jax.clear_caches()
+        img_st, rays_st, steps_st = _render_regen_gated(scene, key, kw, "0")
+    finally:
+        pi.SPH_CHUNK, pi.ORDER_MIN_CHUNKS = old_chunk, old_min
+        jax.clear_caches()
+
+    assert int(rays_ord) == int(rays_st)
+    assert int(steps_ord) == int(steps_st)
+    np.testing.assert_allclose(np.asarray(img_ord), np.asarray(img_st),
+                               rtol=1e-5, atol=1e-5)
+    assert int(rays_mk) == int(rays_st)
+    np.testing.assert_allclose(np.asarray(img_mk), np.asarray(img_st),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sub_chunk_cull_bitwise_matches_ungated():
+    """SPH_SUB sub-block gating (candidate tests skipped when the tile's
+    slab test misses the sub-AABB) is a pure cull: any candidate it skips
+    could never win the fold, so the render must be BITWISE identical to
+    the ungated scan."""
+    import raytracer_tpu.ops.pallas_intersect as pi
+    from raytracer_tpu.models import wavefront_soa as ws
+    from raytracer_tpu.scene.builtin import sphere_field
+
+    scene = sphere_field(300)
+    key = jax.random.PRNGKey(5)
+    kw = dict(width=12, height=12, lanes_per_pixel=1, samples_per_lane=2,
+              max_depth=5, t_min=1e-3, spawn_eps=0.01,
+              intersector="pallas", russian_roulette=True)
+    assert pi.SPH_SUB and pi.SPH_SUB_MIN <= 300   # gating active by default
+    img_sub, rays_sub, steps_sub = ws.render_regen_soa(scene, key, **kw)
+
+    old = pi.SPH_SUB
+    pi.SPH_SUB = 0
+    jax.clear_caches()
+    try:
+        img_off, rays_off, steps_off = ws.render_regen_soa(scene, key, **kw)
+    finally:
+        pi.SPH_SUB = old
+        jax.clear_caches()
+
+    assert int(rays_sub) == int(rays_off)
+    assert int(steps_sub) == int(steps_off)
+    np.testing.assert_array_equal(np.asarray(img_sub), np.asarray(img_off))
