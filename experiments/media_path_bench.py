@@ -1,10 +1,11 @@
-"""Measure the volumetric-media slow path (VERDICT r3 weak #7).
+"""Measure the volumetric-media path (VERDICT r3 weak #7 / r5 item 3).
 
-Scenes with ConstantMedium fall off the SoA/regen kernel path to the
-(N,3) XLA wavefront (path_tracer.trace_radiance fallback). This bench
-quantifies that tax on the config-4 scene class: cornell_smoke (Cornell
-walls + two smoke volumes) vs plain Cornell, same resolution/spp/depth,
-real chip.
+Round 5 brought media onto the SoA wavefront (apply_media_soa free-flight
+override per bounce; the fused megakernel stays excluded, so media scenes
+run the UNFUSED SoA loop). This bench publishes all three points on the
+config-4 scene class: plain Cornell (fused kernel path), cornell_smoke on
+the SoA path (production), and cornell_smoke forced onto the (N,3) XLA
+AoS wavefront (the pre-round-5 fallback), same resolution/spp/depth.
 
 Usage: python experiments/media_path_bench.py [--small]
 """
@@ -24,24 +25,27 @@ SMALL = "--small" in sys.argv
 W, H, SPP = (200, 200, 8) if SMALL else (400, 400, 32)
 
 
-def timed(scene, label):
+def timed(scene, label, intersector="auto"):
     kw = dict(width=W, height=H, spp=SPP, spp_chunk=4, max_depth=16,
-              t_min=1e-3, spawn_eps_rel=1e-4)
+              t_min=1e-3, spawn_eps_rel=1e-4, intersector=intersector)
     img, rays = render_fn(scene, jax.random.PRNGKey(0), **kw)
     jax.block_until_ready(img)
     t0 = time.perf_counter()
     img, rays = render_fn(scene, jax.random.PRNGKey(1), **kw)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
-    print(f"{label:26s} {dt:7.2f} s   {int(rays)/dt/1e6:7.2f} Mrays/s  "
+    print(f"{label:30s} {dt:7.2f} s   {int(rays)/dt/1e6:7.2f} Mrays/s  "
           f"mean={float(np.asarray(img).mean()):.5f}", flush=True)
     return dt
 
 
 def main():
-    base = timed(cornell_box(), "cornell (kernel path)")
-    smoke = timed(cornell_smoke(), "cornell_smoke (XLA path)")
-    print(f"media-path tax: {smoke / base:.1f}x", flush=True)
+    base = timed(cornell_box(), "cornell (fused kernel)")
+    smoke = timed(cornell_smoke(), "cornell_smoke (SoA media)")
+    aos = timed(cornell_smoke(), "cornell_smoke (AoS forced)",
+                intersector="bruteforce")
+    print(f"media tax (SoA vs cornell): {smoke / base:.2f}x   "
+          f"SoA speedup vs AoS fallback: {aos / smoke:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -106,8 +106,9 @@ def trace_radiance(scene: Scene, o, d, key, *, max_depth: int, t_min: float,
     # models/wavefront_soa.py). Same semantics, same key streams.
     from raytracer_tpu.ops.dispatch import _resolve
     method = _resolve(scene, intersector, has_time=time is not None)
-    if (method in ("pallas", "leaf")
-            and (scene.media is None or not scene.media.kind.shape[0])):
+    if method in ("pallas", "leaf"):
+        # media scenes ride the SoA path too since round 5 (the free-
+        # flight override is elementwise — wavefront_soa.bounce_step)
         from raytracer_tpu.models.wavefront_soa import trace_radiance_soa
         radiance, rays = trace_radiance_soa(
             scene, o, d, key, max_depth=max_depth, t_min=t_min,
@@ -219,8 +220,7 @@ def render_fn(scene: Scene, key, *, width: int, height: int, spp: int,
     # has_time=True: the regen wavefront draws per-sample shutter times
     # itself when the scene moves, so moving scenes ride the kernel path
     method = _resolve(scene, intersector, has_time=True)
-    if (method in ("pallas", "leaf")
-            and (scene.media is None or not scene.media.kind.shape[0])):
+    if method in ("pallas", "leaf"):
         from raytracer_tpu.models.wavefront_soa import render_regen_soa
         accum, rays, _steps = render_regen_soa(
             scene, key, width=width, height=height,

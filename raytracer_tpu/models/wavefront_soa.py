@@ -31,9 +31,9 @@ import jax.numpy as jnp
 from raytracer_tpu.ops.pallas_intersect import N_GEO_SLOTS
 from raytracer_tpu.scene.types import (
     INTER_ABSORB, INTER_DIFFUSE, INTER_REFLECT, INTER_REFRACT,
-    INTER_SPECULAR, MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN,
-    MAT_METAL, PRIM_RECT, PRIM_SPHERE, Scene, TEX_CHECKER, TEX_IMAGE,
-    TEX_NOISE,
+    INTER_SPECULAR, MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+    MAT_LAMBERTIAN, MAT_METAL, PRIM_MEDIA, PRIM_RECT, PRIM_SPHERE, Scene,
+    TEX_CHECKER, TEX_IMAGE, TEX_NOISE,
 )
 
 PI = 3.141592653589793
@@ -161,10 +161,14 @@ def attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data):
 
     is_s = ty == PRIM_SPHERE
     is_r = ty == PRIM_RECT
-    nox = jnp.where(is_s, snx, jnp.where(is_r, rnx, tnx))
-    noy = jnp.where(is_s, sny, jnp.where(is_r, rny, tny))
-    noz = jnp.where(is_s, snz, jnp.where(is_r, rnz, tnz))
-    # sphere UV (sphere.rs:16-21)
+    is_m = ty == PRIM_MEDIA   # medium event: dummy normal (medium.rs:45)
+    nox = jnp.where(is_s, snx, jnp.where(is_r, rnx,
+                    jnp.where(is_m, 1.0, tnx)))
+    noy = jnp.where(is_s, sny, jnp.where(is_r, rny,
+                    jnp.where(is_m, 0.0, tny)))
+    noz = jnp.where(is_s, snz, jnp.where(is_r, rnz,
+                    jnp.where(is_m, 0.0, tnz)))
+    # sphere UV (sphere.rs:16-21); media uv = (0,0) like triangles
     theta = jnp.arccos(jnp.clip(-sny, -1.0, 1.0))
     phi = jnp.arctan2(-snz, snx) + PI
     u = jnp.where(is_s, phi / TWO_PI, jnp.where(is_r, rect_u, 0.0))
@@ -286,11 +290,17 @@ def scatter_soa(scene: Scene, rng, dx, dy, dz, h: HitSoA,
     is_met = f.kind == MAT_METAL
     is_die = f.kind == MAT_DIELECTRIC
     is_lgt = f.kind == MAT_DIFFUSE_LIGHT
+    is_iso = f.kind == MAT_ISOTROPIC
     diffish = is_lam | is_lgt
 
-    odx = jnp.where(diffish, ldx, jnp.where(is_met, mdx, ddx))
-    ody = jnp.where(diffish, ldy, jnp.where(is_met, mdy, ddy))
-    odz = jnp.where(diffish, ldz, jnp.where(is_met, mdz, ddz))
+    # isotropic phase (material.rs:213-231): the raw unit-sphere draw —
+    # shares the sphere pair, kinds are exclusive per lane (ops/materials)
+    odx = jnp.where(diffish, ldx, jnp.where(is_met, mdx,
+                    jnp.where(is_iso, sx, ddx)))
+    ody = jnp.where(diffish, ldy, jnp.where(is_met, mdy,
+                    jnp.where(is_iso, sy, ddy)))
+    odz = jnp.where(diffish, ldz, jnp.where(is_met, mdz,
+                    jnp.where(is_iso, sz, ddz)))
     ar = jnp.where(is_lgt, FRAC_1_PI, alr)
     ag = jnp.where(is_lgt, FRAC_1_PI, alg)
     ab = jnp.where(is_lgt, FRAC_1_PI, alb)
@@ -430,7 +440,8 @@ def _sort_perm(ox, oy, oz, alive):
 
 def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
                 t_min: float, spawn_eps, intersector: str,
-                fused: bool, time=None, sort: bool = False) -> Bounce:
+                fused: bool, time=None, sort: bool = False,
+                media_key=None) -> Bounce:
     """Advance one bounce: intersect + attrs + texture + scatter. The fused
     path runs everything inside one pallas call (ops/pallas_intersect.
     _bounce_kernel); the unfused path is the original attrs_soa +
@@ -454,12 +465,16 @@ def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
         esub = spawn_eps
         if getattr(spawn_eps, "ndim", 0) >= 1:
             esub = jnp.take(spawn_eps, perm, axis=0)
+        # NOTE: with media, the sorted call is statistically equivalent but
+        # not bit-identical to unsorted (free-flight uniforms are drawn by
+        # lane POSITION inside apply_media_soa); sort is A/B-only anyway
         b = bounce_step(
             scene, uni[:, perm],
             jnp.take(ox, perm), jnp.take(oy, perm), jnp.take(oz, perm),
             jnp.take(dx, perm), jnp.take(dy, perm), jnp.take(dz, perm),
             jnp.take(alive, perm), t_min=t_min, spawn_eps=esub,
-            intersector=intersector, fused=fused, time=tsub, sort=False)
+            intersector=intersector, fused=fused, time=tsub, sort=False,
+            media_key=media_key)
         return Bounce(*(jnp.take(f, inv, axis=0) for f in b))
     if fused:
         from raytracer_tpu.ops.pallas_intersect import bounce_fused
@@ -488,6 +503,15 @@ def bounce_step(scene: Scene, rng, ox, oy, oz, dx, dy, dz, alive, *,
         # agnostic (pallas_intersect._run)
         t, ty, _ix, data = _prun(scene, o3, d3, t_min, jnp.inf, alive=alive,
                                  time=time)
+    if (media_key is not None and scene.media is not None
+            and scene.media.kind.shape[0]):
+        # volumetric media ride the SoA path (VERDICT r5 item 3): override
+        # the geometric winner wherever a free-flight event lands first
+        # (same fold-29 key stream as the AoS loop — ops/media.py)
+        from raytracer_tpu.ops.media import apply_media_soa
+        t, ty, data = apply_media_soa(
+            scene, jax.random.fold_in(media_key, 29), ox, oy, oz,
+            dx, dy, dz, t, ty, data, t_min)
     h, f = attrs_soa(ox, oy, oz, dx, dy, dz, t, ty, data)
     sc = scatter_soa(scene, uni, dx, dy, dz, h, f)
     side = jnp.sign(sc.dx * h.nx + sc.dy * h.ny + sc.dz * h.nz) * spawn_eps
@@ -533,8 +557,9 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
                        russian_roulette: bool = True, nee: bool = False,
                        mis: bool = False, time=None):
     """SoA twin of path_tracer.trace_radiance for the pallas/leaf
-    intersectors (no media; motion blur via per-lane ``time`` — constant
-    across a lane's bounces, so it rides the closure, not the carry).
+    intersectors (media via the per-bounce apply_media_soa override;
+    motion blur via per-lane ``time`` — constant across a lane's bounces,
+    so it rides the closure, not the carry).
     Returns (radiance (N,3), rays ()).
 
     Stream compaction was measured and rejected a THIRD time here: even
@@ -557,7 +582,7 @@ def trace_radiance_soa(scene: Scene, o, d, key, *, max_depth: int,
         b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                         t_min=t_min, spawn_eps=spawn_eps,
                         intersector=intersector, fused=fused, time=time,
-                        sort=sort)
+                        sort=sort, media_key=k)
 
         # b.er/inter are miss-masked, so `alive` alone gates accumulation
         emit_ok = alive & ~prev_diff
@@ -804,7 +829,7 @@ def render_regen_soa(scene: Scene, key, *, width: int, height: int,
             b = bounce_step(scene, U, ox, oy, oz, dx, dy, dz, alive,
                             t_min=t_min, spawn_eps=spawn_eps,
                             intersector=intersector, fused=fused,
-                            time=time, sort=sort)
+                            time=time, sort=sort, media_key=k)
 
             emit_ok = alive & ~prev_diff
             sr = sr + jnp.where(emit_ok, tr * b.er, 0.0)

@@ -112,3 +112,49 @@ def apply_media(media: Media, key, o, d, attrs: HitAttrs,
         uv=jnp.where(use[:, None], 0.0, attrs.uv),
         mat_id=jnp.where(use, media.mat_id[j], attrs.mat_id),
     )
+
+
+def apply_media_soa(scene, key, ox, oy, oz, dx, dy, dz, t, ty, data,
+                    t_min: float):
+    """Media override on the SoA winner rows — the wavefront fast path's
+    twin of ``apply_media`` (medium.rs:26-53). Wherever a medium's
+    exponential free-flight event precedes the geometric hit, the winner
+    becomes a PRIM_MEDIA record whose feature slots carry the medium's
+    isotropic material (attrs_soa then yields the dummy (1,0,0) normal of
+    medium.rs:45 and uv=(0,0)). Draws the SAME (n, K) uniforms from the
+    same fold-29 key as the AoS loop, so media events are stream-identical
+    across the two implementations.
+
+    Returns overridden (t, ty, data)."""
+    from raytracer_tpu.scene.types import PRIM_MEDIA
+    from raytracer_tpu.ops.pallas_intersect import (N_GEO_SLOTS,
+                                                    _feature_rows)
+    media: Media = scene.media
+    n = ox.shape[0]
+    k_m = media.kind.shape[0]
+    o = jnp.stack([ox, oy, oz], -1)
+    d = jnp.stack([dx, dy, dz], -1)
+    enter, exit_, ok = _boundary_window(media, o, d)
+    t_geom = jnp.where(jnp.isfinite(t), t, jnp.inf)[:, None]
+    enter = jnp.maximum(enter, t_min)
+    exit_ = jnp.minimum(exit_, t_geom)
+    ok = ok & (exit_ > enter)
+
+    d_len = jnp.sqrt(vec.dot(d, d))[:, None]
+    dist_inside = (exit_ - enter) * d_len
+    u = jax.random.uniform(key, (n, k_m), minval=1e-12, maxval=1.0)
+    hit_dist = media.neg_inv_density[None] * jnp.log(u)   # medium.rs:41
+    scatters = ok & (hit_dist < dist_inside)
+    t_med = jnp.where(scatters, enter + hit_dist / jnp.maximum(d_len, 1e-20),
+                      jnp.inf)
+    j = jnp.argmin(t_med, axis=1)                         # nearest medium
+    t_best = jnp.take_along_axis(t_med, j[:, None], axis=1)[:, 0]
+    use = jnp.isfinite(t_best)   # t_med < exit_ <= t_geom by construction
+
+    feat = _feature_rows(scene, media.mat_id)             # (12, K)
+    featsel = feat[:, j]                                  # (12, N)
+    geo = jnp.zeros((N_GEO_SLOTS, n), data.dtype)
+    t2 = jnp.where(use, t_best, t)
+    ty2 = jnp.where(use, jnp.float32(PRIM_MEDIA), ty)
+    data2 = jnp.where(use[None], jnp.concatenate([geo, featsel], 0), data)
+    return t2, ty2, data2

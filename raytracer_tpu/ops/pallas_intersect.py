@@ -464,10 +464,11 @@ def _fold(carry, t, ok, base, code, plane_block, plane_slots, computed):
     ``plane_block`` is a (C, R) slice of the table; its winner values land
     in ``plane_slots`` via ONE block^T @ onehot matmul on the MXU (replacing
     R separate VPU reductions). ``computed`` maps slot -> per-pair (C, T)
-    arrays (triangle barycentrics) reduced on the VPU. Pure: carry is
-    (best_t (1,T), best_ty, best_ix, best_data (N_SLOTS,T))."""
+    arrays (triangle barycentrics) reduced on the VPU. ``ok`` may be None
+    when ``t`` is already miss-masked to BIG (sub-gated scan). Pure: carry
+    is (best_t (1,T), best_ty, best_ix, best_data (N_SLOTS,T))."""
     best_t, best_ty, best_ix, best_data = carry
-    tt = jnp.where(ok, t, BIG)
+    tt = t if ok is None else jnp.where(ok, t, BIG)
     m = jnp.min(tt, axis=0, keepdims=True)                  # (1,T)
     row = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0).astype(jnp.float32)
     midx = jnp.min(jnp.where(tt <= m, row, BIG), axis=0, keepdims=True)
@@ -652,21 +653,25 @@ def sphere_stage(carry, rv: RayVals, sph_ref, cull_ref, n_sph: int,
 
         def chunk_body(c, j=j, jc=jc):
             T = rv.ox.shape[1]
-            miss = (jnp.full((SPH_SUB, T), BIG, jnp.float32),
-                    jnp.zeros((SPH_SUB, T), jnp.bool_))
+            # branches return ONE miss-masked f32 matrix: a (t, ok-bool)
+            # tuple fails Mosaic's scf.if legalization (i1 vector results)
+            miss = jnp.full((SPH_SUB, T), BIG, jnp.float32)
+
+            def sub_tests(sub_blk):
+                t, ok = _sphere_chunk_tests(rv, sub_blk)
+                return jnp.where(ok, t, BIG)
+
             parts = []
             for s in range(nsub):
                 sub_blk = sph_ref[j + s * SPH_SUB:j + (s + 1) * SPH_SUB, :]
                 sub_any = _tile_slab_any(rv, scull_ref, jc * nsub + s, c[0])
                 parts.append(jax.lax.cond(
                     sub_any,
-                    lambda sub_blk=sub_blk: _sphere_chunk_tests(rv, sub_blk),
+                    lambda sub_blk=sub_blk: sub_tests(sub_blk),
                     lambda: miss))
             blk = sph_ref[j:j + chunk, :]
-            return _fold(c, jnp.concatenate([p[0] for p in parts], 0),
-                         jnp.concatenate([p[1] for p in parts], 0),
-                         float(j), PRIM_SPHERE, blk, _sphere_slots(rv, blk),
-                         [])
+            return _fold(c, jnp.concatenate(parts, 0), None, float(j),
+                         PRIM_SPHERE, blk, _sphere_slots(rv, blk), [])
 
         return jax.lax.cond(any_hit, chunk_body, lambda c: c, c)
 
@@ -2132,6 +2137,7 @@ def bounce_fused_eligible(scene: Scene) -> bool:
     kernel threads per-ray time; the epilogue folds winner velocity)."""
     return (scene.images.shape[0] == 0
             and scene.textures.noise_marker.shape[0] == 0
+            and (scene.media is None or scene.media.kind.shape[0] == 0)
             and scene.spheres.radius.shape[0] <= SPH_SLAB
             and scene.triangles.mat_id.shape[0] <= TRI_SLAB)
 

@@ -67,9 +67,9 @@ def cornell_smoke(aspect_ratio: float = 1.0):
     density smoke volumes (book-2 cornell_smoke class; EXTENSION — the
     reference's only hard-coded scene is scene.rs:16-112, but its
     ConstantMedium type, medium.rs:7-61, supports exactly this). Exercises
-    ops/media.py at full render scale: media scenes take the XLA wavefront
-    (the SoA kernel path has no medium plumbing) — media_path_bench.py
-    publishes the measured tax."""
+    ops/media.py at full render scale on the SoA kernel path (round 5:
+    apply_media_soa free-flight override per bounce) —
+    media_path_bench.py publishes the measured cost vs plain Cornell."""
     b = SceneBuilder()
     red = b.lambertian(b.constant_texture((0.75, 0.25, 0.25)))
     white = b.lambertian(b.constant_texture((0.75, 0.75, 0.75)))

@@ -39,6 +39,8 @@ LIGHT_XZRECT = 1       # XZRectLight light.rs:127-184
 PRIM_SPHERE = 0
 PRIM_RECT = 1
 PRIM_TRIANGLE = 2
+PRIM_MEDIA = 3         # SoA winner override: medium scatter event
+                       # (medium.rs:26-53 via ops/media.apply_media_soa)
 
 # Interaction codes (material.rs:10-16)
 INTER_DIFFUSE = 0

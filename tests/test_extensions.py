@@ -257,10 +257,10 @@ class TestTransformRotation:
 @pytest.mark.slow
 def test_cornell_smoke_builtin(key):
     """cornell_smoke: media at render scale (book-2 cornell_smoke class).
-    Must render finite and nonzero end-to-end on the XLA wavefront
-    fallback (media scenes are excluded from the SoA kernel path), and
-    the smoke must attenuate the scene overall: the dark smoke box
-    absorbs light the plain box walls would reflect."""
+    Must render finite and nonzero end-to-end — since round 5 through the
+    SoA kernel path (apply_media_soa free-flight override) — and the
+    smoke must attenuate the scene overall: the dark smoke box absorbs
+    light the plain box walls would reflect."""
     from raytracer_tpu.scene.builtin import cornell_box, cornell_smoke
     cfg = RenderConfig(width=32, height=32, samples_per_pixel=16,
                        spp_chunk=4, max_depth=12)
@@ -270,3 +270,77 @@ def test_cornell_smoke_builtin(key):
     assert np.isfinite(a_s).all()
     assert a_s.mean() > 0.0
     assert a_s.mean() < a_c.mean()
+
+
+@pytest.mark.slow
+def test_media_soa_matches_aos(key):
+    """The SoA media path (wavefront_soa.bounce_step + apply_media_soa,
+    PRIM_MEDIA winner override) must agree with the AoS reference loop
+    (path_tracer's (N,3) wavefront + ops/media.apply_media) in
+    expectation: same fold-29 free-flight streams, same isotropic phase
+    semantics. MC band on the same render config."""
+    from raytracer_tpu.scene.builtin import cornell_smoke
+    scene = cornell_smoke()
+    kw = dict(width=24, height=24, spp=24, spp_chunk=4, max_depth=10,
+              t_min=1e-3, spawn_eps_rel=1e-4, russian_roulette=True)
+    img_soa, rays_soa = path_tracer.render_fn(scene, key,
+                                              intersector="pallas", **kw)
+    img_aos, rays_aos = path_tracer.render_fn(scene, key,
+                                              intersector="bruteforce", **kw)
+    a, b = np.asarray(img_soa), np.asarray(img_aos)
+    assert np.isfinite(a).all() and int(rays_soa) > 0
+    # gamma-space comparison (MC noise at 24spp)
+    ga, gb = np.sqrt(np.clip(a, 0, None)), np.sqrt(np.clip(b, 0, None))
+    assert abs(ga.mean() - gb.mean()) < 0.05 * max(gb.mean(), 1e-6), (
+        ga.mean(), gb.mean())
+    assert np.abs(ga - gb).mean() < 0.08
+
+
+def test_media_soa_isotropic_scatter_and_override():
+    """Unit-level: apply_media_soa overrides the winner exactly where the
+    free-flight event lands inside the boundary ahead of the geometric
+    hit, and the resulting PRIM_MEDIA record flows through attrs_soa /
+    scatter_soa as an isotropic phase event (uniform-sphere direction,
+    albedo attenuation, INTER_DIFFUSE)."""
+    import jax
+    import jax.numpy as jnp
+    from raytracer_tpu.models.wavefront_soa import attrs_soa, scatter_soa
+    from raytracer_tpu.ops.media import apply_media_soa
+    from raytracer_tpu.ops.pallas_intersect import N_SLOTS
+    from raytracer_tpu.scene import SceneBuilder
+    from raytracer_tpu.scene.types import PRIM_MEDIA, INTER_DIFFUSE
+
+    b = SceneBuilder()
+    m = b.lambertian(b.constant_texture((1.0, 1.0, 1.0)))
+    b.add_sphere((0.0, 0.0, -50.0), 1.0, m)   # far geometry behind the fog
+    b.add_constant_medium_box((-5.0, -5.0, -20.0), (5.0, 5.0, -2.0),
+                              5.0, b.constant_texture((0.3, 0.6, 0.9)))
+    scene = b.compile()
+    n = 8
+    ox = oy = jnp.zeros((n,), jnp.float32)
+    oz = jnp.zeros((n,), jnp.float32)
+    dx = dy = jnp.zeros((n,), jnp.float32)
+    dz = jnp.full((n,), -1.0, jnp.float32)
+    t = jnp.full((n,), 49.0, jnp.float32)     # geometric hit at z=-49
+    ty = jnp.zeros((n,), jnp.float32)
+    data = jnp.zeros((N_SLOTS, n), jnp.float32)
+    t2, ty2, data2 = apply_media_soa(scene, jax.random.PRNGKey(0),
+                                     ox, oy, oz, dx, dy, dz, t, ty, data,
+                                     1e-3)
+    t2 = np.asarray(t2)
+    ty2 = np.asarray(ty2)
+    # density 5 over an 18-unit window: every ray scatters in the fog
+    assert (ty2 == PRIM_MEDIA).all()
+    assert ((t2 > 2.0) & (t2 < 20.0)).all()
+
+    h, f = attrs_soa(ox, oy, oz, dx, dy, dz, jnp.asarray(t2),
+                     jnp.asarray(ty2), data2)
+    np.testing.assert_allclose(np.asarray(h.nx), -1.0, atol=1e-6)  # flipped
+    sc = scatter_soa(scene, jax.random.PRNGKey(1), dx, dy, dz, h, f)
+    assert (np.asarray(sc.interaction) == INTER_DIFFUSE).all()
+    np.testing.assert_allclose(np.asarray(sc.ar), 0.3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sc.ab), 0.9, atol=1e-6)
+    # isotropic: direction is the raw unit-sphere draw, not normal-coupled
+    d3 = np.stack([np.asarray(sc.dx), np.asarray(sc.dy),
+                   np.asarray(sc.dz)], -1)
+    np.testing.assert_allclose(np.linalg.norm(d3, axis=-1), 1.0, atol=1e-5)
