@@ -109,15 +109,17 @@ CHUNK = 512        # rect/tri chunk width
 # 64k field (ordered walk) 6.53 -> 6.10 s per 32spp render, 512 ties 256.
 SPH_CHUNK = 256
 SUPER = 8          # sphere chunks per superchunk AABB (two-level cull)
-# Sub-chunk cull granularity for FLAT-scan sphere tables (headline scale):
-# candidate tests are gated per SPH_SUB-wide sub-block while the winner
-# fold stays chunk-wide — measured cull rates at 1005 spheres: 460
-# pairs/ray at chunk-256 gating vs 260 at 64-wide gating, while an
-# all-64-chunk scan and the ordered walk both LOSE to the 4-chunk scan on
-# per-chunk fixed costs (experiments/headline_cull_stats.py + ROUND_NOTES
-# round 5). 0 disables. Flat tables carry the (6, k*nsub) sub-AABB table
-# in the otherwise-unused scull operand slot.
-SPH_SUB = 64
+# Sub-chunk cull granularity for FLAT-scan sphere tables: candidate tests
+# gated per SPH_SUB-wide sub-block while the winner fold stays chunk-wide.
+# MEASURED OFF (round 5, v5e, scene_500 noRR Mrays/s): sub=64 45.6, sub=32
+# 38.9 vs 54.1 dense — the per-sub cond/slab machinery costs more than the
+# ~460->260 pairs/ray it saves, the same per-gate fixed cost that rejected
+# fine chunks (45.0) and the ordered walk (47-52) at this scale
+# (experiments/headline_cull_stats.py + headline_chunk_bench.py,
+# ROUND_NOTES round 5). Dense uninterrupted SIMD wins at 1k spheres; set
+# SPH_SUB=64 to re-enable for A/B. When on, flat tables carry the
+# (6, k*nsub) sub-AABB table in the otherwise-unused scull operand slot.
+SPH_SUB = 0
 SPH_SUB_MIN = 256  # enable sub-gating only for tables at least this big
 N_GEO_SLOTS = 16
 N_FEAT = 12

@@ -403,13 +403,15 @@ def test_sub_chunk_cull_bitwise_matches_ungated():
     kw = dict(width=12, height=12, lanes_per_pixel=1, samples_per_lane=2,
               max_depth=5, t_min=1e-3, spawn_eps=0.01,
               intersector="pallas", russian_roulette=True)
-    assert pi.SPH_SUB and pi.SPH_SUB_MIN <= 300   # gating active by default
-    img_sub, rays_sub, steps_sub = ws.render_regen_soa(scene, key, **kw)
-
     old = pi.SPH_SUB
-    pi.SPH_SUB = 0
-    jax.clear_caches()
     try:
+        pi.SPH_SUB = 64        # measured-off by default; pin the machinery
+        jax.clear_caches()
+        assert pi.SPH_SUB_MIN <= 300
+        img_sub, rays_sub, steps_sub = ws.render_regen_soa(scene, key, **kw)
+
+        pi.SPH_SUB = 0
+        jax.clear_caches()
         img_off, rays_off, steps_off = ws.render_regen_soa(scene, key, **kw)
     finally:
         pi.SPH_SUB = old
