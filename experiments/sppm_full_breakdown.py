@@ -62,13 +62,7 @@ print(f"iters 2-50 (warm, pipelined): {t_iter_warm:7.2f} s "
 # gather, batched exactly like sppm.render
 n_total = sp.n_iterations * sp.photons_per_iter
 total = cfg.samples_per_pixel
-lane_budget = max(1, 16_000_000 // npix)
-batch = max(1, min(cfg.host_spp_batch, total, lane_budget))
-for d in range(batch, 0, -1):
-    if total % d == 0:
-        batch = d
-        break
-chunk_budget = max(1, 1_500_000 // npix)
+batch, chunk_budget = sppm.gather_batching(cfg, npix)
 print(f"gather batch={batch} spp_chunk="
       f"{max(1, min(cfg.spp_chunk, batch, chunk_budget))} "
       f"dispatches={-(-total // batch)}", flush=True)

@@ -602,6 +602,64 @@ def gather_fn(scene: Scene, state: SPPMState, key, *, width, height, spp,
 
 # -------------------------------------------------------------- top level
 
+def gather_batching(config: "RenderConfig", npix: int):
+    """(host_spp_batch, spp_chunk budget) for the final gather — shared by
+    render, warm_render_programs, and the breakdown harness so they drive
+    identical static shapes. ``batch`` is the largest divisor of
+    samples_per_pixel under both the host cap and the ~16M-lane tunnel
+    budget (a non-divisor would cost a second full gather compile for the
+    remainder dispatch); the chunk budget keeps padded loop temps out of
+    HBM-pressure territory (~1.5M lanes, ROUND_NOTES round 2)."""
+    total = config.samples_per_pixel
+    lane_budget = max(1, 16_000_000 // npix)
+    batch = max(1, min(config.host_spp_batch, total, lane_budget))
+    for d in range(batch, 0, -1):
+        if total % d == 0:
+            batch = d
+            break
+    return batch, max(1, 1_500_000 // npix)
+
+
+def warm_render_programs(scene: Scene, config: RenderConfig, key):
+    """Compile-warm the EXACT programs ``render`` dispatches (blocked or
+    unblocked iteration + one final-gather batch at render's static
+    shapes) against a throwaway state. Benchmarks call this so the
+    full-workload number measures sustained throughput, not the one-time
+    XLA compiles (~40-60 s each over the tunnel at 800x800) the reference
+    binary has no analog of."""
+    sp: SPPMConfig = config.sppm
+    npix = config.width * config.height
+    grid_res, _ = pg.choose_grid_resolution(
+        scene.bounds_min, scene.bounds_max, sp.photons_per_iter, sp.k_global)
+    kw = dict(
+        width=config.width, height=config.height,
+        n_photons=sp.photons_per_iter,
+        max_photon_bounces=sp.max_photon_bounces,
+        max_camera_bounces=sp.max_camera_bounces,
+        grid_res=grid_res, k_per_cell=sp.max_photons_per_cell,
+        alpha=sp.alpha, k_global=sp.k_global, k_caustic=sp.k_caustic,
+        t_min=config.t_min, photon_t_min=1e-4,
+        spawn_eps_rel=config.spawn_eps_rel,
+        intersector=config.intersector, query_impl=sp.query_impl)
+    st = init_state(npix)
+    if npix > sp.pixel_block:
+        st = sppm_iteration_blocked(scene, st, key,
+                                    pixel_block=sp.pixel_block, **kw)
+    else:
+        st = sppm_iteration(scene, st, key, **kw)
+    jax.block_until_ready(st.glob.flux)
+    batch, chunk_budget = gather_batching(config, npix)
+    spp = min(batch, config.samples_per_pixel)
+    img, _ = gather_fn(
+        scene, st, key, width=config.width, height=config.height, spp=spp,
+        spp_chunk=max(1, min(config.spp_chunk, spp, chunk_budget)),
+        max_depth=config.max_depth, t_min=config.t_min,
+        spawn_eps_rel=config.spawn_eps_rel,
+        n_total_photons=sp.n_iterations * sp.photons_per_iter,
+        intersector=config.intersector)
+    jax.block_until_ready(img)
+
+
 def render(scene: Scene, config: RenderConfig, key,
            state: Optional[SPPMState] = None,
            checkpoint_cb=None) -> Tuple:
@@ -661,20 +719,7 @@ def render(scene: Scene, config: RenderConfig, key,
     # (measured: ~40M lanes x depth 50 kills the tunnel; ~16M is safe).
     n_total = sp.n_iterations * sp.photons_per_iter
     total = config.samples_per_pixel
-    lane_budget = max(1, 16_000_000 // npix)
-    batch = max(1, min(config.host_spp_batch, total, lane_budget))
-    # prefer the largest batch <= cap that DIVIDES total: a non-divisor
-    # leaves a remainder dispatch with different static spp — a second
-    # full gather compile (~40-60 s over the tunnel at 800x800) for a
-    # handful of samples (round-5 sppm_full wall-clock work)
-    for d in range(batch, 0, -1):
-        if total % d == 0:
-            batch = d
-            break
-    # wavefronts above ~1.5M lanes push the padded loop temps into HBM
-    # pressure (XLA starts compressing/rematting buffers: measured 0.81 vs
-    # 1.47 s/spp at 800x800 for 1.28M vs 2.56M lanes — ROUND_NOTES round 2)
-    chunk_budget = max(1, 1_500_000 // npix)
+    batch, chunk_budget = gather_batching(config, npix)
     done, i, rays_total, accum = 0, 0, 0, None
     prog = Progress(total=total, label="gather spp")
     while done < total:
