@@ -1,6 +1,7 @@
 """BVH property tests: traversal must agree with brute force on random rays
 (the role scene_200_no_bvh plays in the reference's data set — SURVEY.md §4)."""
 
+import pytest
 import os
 
 import jax
@@ -78,6 +79,7 @@ def test_bvh_flat_arrays_wellformed():
     assert np.all(np.asarray(b.node_max[0]) >= pmax.max(0) - 1e-5)
 
 
+@pytest.mark.slow
 def test_render_with_bvh_matches_bruteforce_image(key):
     from raytracer_tpu.models import path_tracer as pt
     scene = load_scene(os.path.join(DATA, "scene_10.json"))

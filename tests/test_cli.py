@@ -8,6 +8,7 @@ import pytest
 from raytracer_tpu.cli import main
 
 
+@pytest.mark.slow
 def test_render_pt_builtin(tmp_path):
     out = str(tmp_path / "pt.png")
     rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
@@ -21,6 +22,7 @@ def test_render_pt_builtin(tmp_path):
     assert img.max() > 0
 
 
+@pytest.mark.slow
 def test_render_scene_file_with_bvh(tmp_path):
     out = str(tmp_path / "s10.png")
     rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
@@ -50,6 +52,7 @@ def test_render_sppm_checkpoint_resume(tmp_path):
     assert rc == 0 and os.path.exists(out2)
 
 
+@pytest.mark.slow
 def test_sharded_cli(tmp_path):
     out = str(tmp_path / "shard.png")
     rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
@@ -59,6 +62,7 @@ def test_sharded_cli(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_render_field_builtin(tmp_path):
     out = str(tmp_path / "field.png")
     rc = main(["render", "--jax-cache", str(tmp_path / "jc"),
@@ -68,6 +72,7 @@ def test_render_field_builtin(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_render_motion_builtin(tmp_path):
     out = str(tmp_path / "motion.png")
     rc = main(["render", "--jax-cache", str(tmp_path / "jc"),

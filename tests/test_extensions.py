@@ -49,6 +49,7 @@ class TestMedia:
         assert fog > 0.0  # but some light still comes through / scatters in
         assert np.isfinite(np.asarray(img_fog)).all()
 
+    @pytest.mark.slow
     def test_density_monotonic(self, key):
         """Denser fog scatters more rays before they exit the slab."""
         from raytracer_tpu.ops.media import apply_media
@@ -69,6 +70,7 @@ class TestMedia:
 
 
 class TestNEE:
+    @pytest.mark.slow
     def test_direct_light_visibility(self, key):
         b = SceneBuilder()
         white = b.lambertian(b.constant_texture((0.75, 0.75, 0.75)))
@@ -135,6 +137,7 @@ class TestImageTexture:
 
 
 class TestBunny:
+    @pytest.mark.slow
     def test_bunny_loads_and_intersects(self):
         mesh = load_obj(os.path.join(DATA, "mesh", "bun315.obj"))
         assert mesh.indices.shape[0] > 300
@@ -212,6 +215,7 @@ class TestMotionBlur:
                                   time=jnp.zeros(1))
         assert np.isinf(np.asarray(t1))[0]
 
+    @pytest.mark.slow
     def test_zero_shutter_matches_static(self, key):
         """time0 == time1 == 0 must reproduce the static image exactly."""
         b = SceneBuilder()
@@ -296,6 +300,7 @@ def test_media_soa_matches_aos(key):
     assert np.abs(ga - gb).mean() < 0.08
 
 
+@pytest.mark.slow
 def test_media_soa_isotropic_scatter_and_override():
     """Unit-level: apply_media_soa overrides the winner exactly where the
     free-flight event lands inside the boundary ahead of the geometric

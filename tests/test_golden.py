@@ -38,6 +38,7 @@ def check_against(golden_name, img):
     assert diff.mean() < 0.08, f"mean diff {diff.mean():.3f}"
 
 
+@pytest.mark.slow
 def test_golden_three_spheres():
     cfg = RenderConfig(width=32, height=32, samples_per_pixel=64, spp_chunk=8,
                        max_depth=12)

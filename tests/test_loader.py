@@ -61,6 +61,7 @@ def test_material_dedup():
     assert s.materials.kind.shape[0] < 1005
 
 
+@pytest.mark.slow
 def test_render_scene_10(key):
     s = load_scene(os.path.join(DATA, "scene_10.json"))
     cfg = RenderConfig(width=40, height=40, samples_per_pixel=8, spp_chunk=4,

@@ -1,5 +1,6 @@
 """Material scatter semantics tests (material.rs:92-212)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +36,7 @@ class TestLambertian:
         b.add_xz_rect(-10, -10, 10, 10, 0.0, m)
         return b.compile()
 
+    @pytest.mark.slow
     def test_diffuse_interaction_and_attenuation(self, key):
         s = self.scene()
         o, d, attrs = hit_on(s, [0, 2, 0], [0, -1, 0])
@@ -97,6 +99,7 @@ class TestDielectric:
         # refracted rays continue downward through the surface
         assert np.all(np.asarray(sc.direction[:, 1])[refr] < 0)
 
+    @pytest.mark.slow
     def test_total_internal_reflection(self, key):
         s = self.scene(1.5)
         # ray from below (inside medium, front_face=False), grazing up:

@@ -54,6 +54,7 @@ def test_mis_nee_exclusive():
         _shoot(scene, 64, 0, mis=True, nee=True)
 
 
+@pytest.mark.slow
 def test_light_pdf_normalized_and_matches_sampler():
     """light_pdf must be the exact density of sample_light_dir:
     (a) it integrates to 1 over the sphere of directions (MC over uniform
@@ -81,6 +82,7 @@ def test_light_pdf_normalized_and_matches_sampler():
     assert (pdf_d > 0).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_mis_many_lights_shares_light_table():
     """MIS rides the same power-categorical light table as NEE: a
     20-emitter scene must trace in one compile and keep the plain-PT
@@ -112,6 +114,7 @@ def test_mis_many_lights_shares_light_table():
     assert r_mis.mean(-1).std() < r_pt.mean(-1).std()
 
 
+@pytest.mark.slow
 def test_mis_runs_on_soa_fast_path():
     """VERDICT r4 item 5: --mis must ride the production SoA path, not
     silently buy the (N,3) XLA wavefront. trace_radiance with
@@ -144,6 +147,7 @@ def test_mis_runs_on_soa_fast_path():
     assert r_mis.mean(-1).std() < 0.8 * r_pt.mean(-1).std()
 
 
+@pytest.mark.slow
 def test_mis_regen_render_matches_plain_pt():
     """render_fn(mis=True) takes the regen wavefront (render_regen_soa)
     and keeps the plain-PT image mean on Cornell."""

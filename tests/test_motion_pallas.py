@@ -60,6 +60,7 @@ def _assert_hits_equal(hb, hp, tb_tol=2e-4, rtol=1e-5):
                                   np.asarray(hp.prim_idx)[both])
 
 
+@pytest.mark.slow
 def test_motion_kernel_matches_bruteforce():
     """Fast movers (|v| up to 6 over the shutter) exercise the dilated
     cull AABBs: a sphere found only near its t=1 position must not be
@@ -174,6 +175,7 @@ def test_motion_render_regen_matches_aos(key):
     assert float(jnp.abs(img_f - img_k).max()) > 0.01
 
 
+@pytest.mark.slow
 def test_slabbed_motion_matches_single(key):
     """The Morton-slabbed chain must thread per-ray times into every
     per-slab kernel call (velocity rows travel with each slab's table

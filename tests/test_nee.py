@@ -28,6 +28,7 @@ def shoot(nee, n, seed, max_depth=2):
     return np.asarray(res.radiance)
 
 
+@pytest.mark.slow
 def test_nee_matches_analytic_direct_lighting():
     # NEE at max_depth=1: exactly the direct term (one shadow ray; its
     # variance is the light-area sampling only, tiny vs plain PT's)
@@ -58,6 +59,7 @@ def test_nee_lower_variance():
     assert v_ne < v_pt / 5.0, (v_pt, v_ne)
 
 
+@pytest.mark.slow
 def test_nee_two_sided_rect_light():
     """Surfaces ABOVE the light plane must still get direct light under
     NEE: emission in this framework is two-sided, so the rect cos term is
@@ -87,6 +89,7 @@ def test_nee_two_sided_rect_light():
     np.testing.assert_allclose(m_ne, m_pt, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_nee_full_render_finite():
     """render_fn with nee on a small Cornell image: finite, lit interior."""
     from raytracer_tpu.models.path_tracer import render_fn

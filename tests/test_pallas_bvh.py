@@ -5,6 +5,7 @@ The leaf walk must reproduce the closest hit exactly — same t, same
 primitive, same extracted attributes — for any wavefront, including rays
 with alive=False lanes (whose results are unspecified and unchecked)."""
 
+import pytest
 import os
 
 import jax
@@ -66,6 +67,7 @@ def test_leaf_scene200():
     check_agreement(scene, o, d)
 
 
+@pytest.mark.slow
 def test_leaf_mixed_rect_tri():
     # Cornell box + mesh: rects and triangles ride the dense stages while
     # the (few) spheres go through the leaf walk — forced small leaf sizes
@@ -83,6 +85,7 @@ def test_leaf_mixed_rect_tri():
     np.testing.assert_allclose(t1[both], t2[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_leaf_attrs_match_pallas():
     """Full attrs/features from the leaf kernel equal the dense kernel's."""
     scene = load_scene(os.path.join(DATA, "scene_500.json"))

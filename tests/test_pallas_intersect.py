@@ -218,6 +218,7 @@ def test_slabbed_run_matches_single(key):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_slabbed_rects_and_tris_once(key):
     """Slab chaining must not double-count rect/tri hits (they ride slab 0
     only) and must preserve closest-hit across primitive classes."""

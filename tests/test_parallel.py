@@ -21,6 +21,7 @@ def test_8dev_mesh_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_px_sharded_render_runs(key):
     scene = three_spheres(aspect_ratio=32 / 24)
     mesh = prender.make_mesh(n_px=8, n_spp=1)
@@ -95,6 +96,7 @@ def test_sharded_ordered_walk_runs(key):
     assert int(rays) > 0
 
 
+@pytest.mark.slow
 def test_pixel_padding_nondivisible(key):
     """npix not divisible by n_px exercises the pad path."""
     scene = three_spheres(aspect_ratio=30 / 22)

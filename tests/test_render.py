@@ -1,5 +1,6 @@
 """End-to-end render smoke tests on tiny images (CPU)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -15,6 +16,7 @@ def small_config(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.slow
 def test_three_spheres_renders_nonblack(key):
     scene = three_spheres(aspect_ratio=1.0)
     img, rays = path_tracer.render(scene, small_config(), key)
@@ -25,6 +27,7 @@ def test_three_spheres_renders_nonblack(key):
     assert int(rays) > 32 * 32 * 8   # at least one bounce on average
 
 
+@pytest.mark.slow
 def test_cornell_renders(key):
     scene = cornell_box(with_mesh=True)
     img, rays = path_tracer.render(scene, small_config(samples_per_pixel=16), key)
@@ -50,6 +53,7 @@ def test_render_deterministic(key):
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
 
 
+@pytest.mark.slow
 def test_empty_and_lightless_scenes_render_black(key):
     """Regression: zero-length material table used to crash the gather in
     scatter(); empty/lightless scenes must render black and finite."""

@@ -37,6 +37,7 @@ def test_sppm_cornell_bright_and_finite(key):
     assert img[box].mean() > 0.05
 
 
+@pytest.mark.slow
 def test_sppm_state_evolves(key):
     scene = cornell_box(with_mesh=False)
     cfg = tiny_config()
@@ -122,6 +123,7 @@ def test_photon_regen_flux_matches_plain(key):
     assert abs(c_r - c_p) / max(c_p, 1) < 0.25    # caustic count (small N)
 
 
+@pytest.mark.slow
 def test_photon_regen_budget_respected(key):
     """B <= lanes: the whole budget spawns at init, no rescale."""
     from raytracer_tpu.models.wavefront_soa import (

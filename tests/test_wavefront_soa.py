@@ -45,6 +45,7 @@ def test_soa_matches_aos_cornell():
     assert int(r_soa.rays_traced) == int(r_aos.rays_traced)
 
 
+@pytest.mark.slow
 def test_soa_matches_aos_scene500_checker():
     scene = load_scene(os.path.join(DATA, "scene_500.json"))
     n = 4096
@@ -61,6 +62,7 @@ def test_soa_matches_aos_scene500_checker():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_soa_measurement_matches_aos():
     scene = cornell_box(with_mesh=False)
     key = jax.random.PRNGKey(3)
@@ -81,6 +83,7 @@ def test_soa_measurement_matches_aos():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_soa_gather_matches_aos():
     scene = cornell_box(with_mesh=False)
     n = 1024
@@ -98,6 +101,7 @@ def test_soa_gather_matches_aos():
     assert int(rays_soa) == int(rays_aos)
 
 
+@pytest.mark.slow
 def test_soa_image_texture_scene():
     """Image textures take the stacked-gather fallback inside the SoA
     texture eval; an earthmap sphere must shade identically."""
@@ -294,6 +298,7 @@ def test_gather_regen_drain_compaction(key):
     assert abs(m1 - m2) / max(m1, 1e-9) < 0.06, (m1, m2)
 
 
+@pytest.mark.slow
 def test_sorted_bounce_bitwise_matches_unsorted(key):
     """bounce_step(sort=True) Morton-permutes lanes around the kernel call
     and inverse-permutes the outputs; lanes are independent and their
@@ -389,6 +394,7 @@ def test_fused_ordered_branches_match_static():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sub_chunk_cull_bitwise_matches_ungated():
     """SPH_SUB sub-block gating (candidate tests skipped when the tile's
     slab test misses the sub-AABB) is a pure cull: any candidate it skips
