@@ -121,10 +121,14 @@ def main():
     cfg1000 = _RC(width=width, height=height, samples_per_pixel=1000,
                   max_depth=16, spp_chunk=1, host_spp_batch=50,
                   intersector="pallas")
-    warm, _ = pt.render_fn(scene, key, width=width, height=height, spp=50,
-                           spp_chunk=1, max_depth=16, t_min=1e-3,
-                           spawn_eps_rel=1e-4, intersector="pallas",
-                           russian_roulette=True)
+    # warm through render() itself (2 batches of 50): compiles the exact
+    # dispatch set of the timed run — render_fn(spp=50), the fixed-shape
+    # key table, and the jitted batch accumulate (tiny remote compiles
+    # cost tens of seconds through the tunnel if left inside the timing)
+    warm, _ = pt.render(scene, _RC(width=width, height=height,
+                                   samples_per_pixel=100, max_depth=16,
+                                   spp_chunk=1, host_spp_batch=50,
+                                   intersector="pallas"), key)
     jax.block_until_ready(warm)
     t0 = time.time()
     img1000, _rays1000 = pt.render(scene, cfg1000, key)
@@ -137,6 +141,13 @@ def main():
     # Cornell kernel-path time at identical settings as the denominator.
     from raytracer_tpu.scene.builtin import cornell_smoke
     from raytracer_tpu.scene.builtin import cornell_box as _cbox
+    # drop the ~17 programs compiled so far first: with that many live
+    # executables the unfused smoke program measured 8.29 s in-process vs
+    # 0.59 s standalone (same args, same chip — ROUND_NOTES r5); nothing
+    # below reuses them, so clearing costs no recompiles
+    jax.clear_caches()
+    import gc
+    gc.collect()
     kw_sm = dict(width=400, height=400, spp=32, spp_chunk=4, max_depth=16,
                  t_min=1e-3, spawn_eps_rel=1e-4)
     (img_sm, _), dt_smoke = _timed(pt.render_fn, cornell_smoke(), key,

@@ -280,9 +280,16 @@ def render(scene: Scene, config: RenderConfig, key) -> tuple:
     spp_chunk = max(1, min(config.spp_chunk, batch,
                            max(1, 1_500_000 // npix)))
     n_batches = -(-total // batch)
-    # all per-batch keys in ONE device dispatch (vs one eager fold_in each)
+    # All per-batch keys in ONE device dispatch (vs one eager fold_in
+    # each). The table size is a fixed 256 (unless more batches are
+    # needed) so the program shape — and hence its compile — does not
+    # depend on samples_per_pixel: a small warm render then compiles
+    # every program a long timed render will dispatch. (Remote compiles
+    # through the tunnel cost tens of seconds even for tiny programs;
+    # an n_batches-shaped key table put ~39 s of first-time compiles
+    # inside bench.py's timed 1000-spp region.)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, 1000 + i))(
-        jnp.arange(n_batches))
+        jnp.arange(max(256, n_batches)))
     done = 0
     accum = jnp.zeros((config.height, config.width, 3), jnp.float32)
     batch_rays = []   # int32 per batch; summed on HOST (the total can

@@ -72,6 +72,7 @@ def test_motion_kernel_matches_bruteforce():
     _assert_hits_equal(hb, hp)
 
 
+@pytest.mark.slow
 def test_motion_attrs_effective_center():
     """Winner normals/points must come from the EFFECTIVE center c + v*t
     (the _run center-slot fold), matching the XLA hit_attributes(time)."""

@@ -49,12 +49,14 @@ def check_agreement(scene, o, d, t_min=1e-3, t_max=jnp.inf):
     assert ids_ok.mean() > 0.98
 
 
+@pytest.mark.slow
 def test_leaf_scene500():
     scene = load_scene(os.path.join(DATA, "scene_500.json"))
     o, d = rays(512, [-12, -6, -12], [12, 6, 12], 0)
     check_agreement(scene, o, d)
 
 
+@pytest.mark.slow
 def test_leaf_scene500_outside_rays():
     scene = load_scene(os.path.join(DATA, "scene_500.json"))
     o, d = rays(512, [-30, 5, -30], [30, 20, 30], 3)

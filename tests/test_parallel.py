@@ -32,6 +32,7 @@ def test_px_sharded_render_runs(key):
     assert int(rays) > 0
 
 
+@pytest.mark.slow
 def test_2d_mesh_px_times_spp(key):
     scene = three_spheres(aspect_ratio=32 / 24)
     mesh = prender.make_mesh(n_px=4, n_spp=2)
@@ -62,6 +63,7 @@ def test_sharded_vs_single_device_statistics(key):
     assert abs(m1 - m2) / max(m1, 1e-6) < 0.06
 
 
+@pytest.mark.slow
 def test_spp_axis_psum_equivalence(key):
     """A (1,8) spp-only mesh must average 8 independent sample streams —
     the image should be *less* noisy than a single shard, same mean."""

@@ -1,5 +1,6 @@
 """Uniform-grid photon map vs brute-force radius-search oracle."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +64,7 @@ def test_grid_query_matches_oracle(key):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_invalid_photons_excluded():
     pos, power, norm, valid = make_photons(1000, seed=2)
     valid[:] = False

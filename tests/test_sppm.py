@@ -58,6 +58,7 @@ def test_sppm_state_evolves(key):
             >= np.asarray(states[0].glob.photons)[touched]).all()
 
 
+@pytest.mark.slow
 def test_sppm_resume_from_state(key):
     """Checkpoint/resume: rendering 1+2 iterations from a saved state equals
     running 3 straight (same keys)."""
