@@ -48,7 +48,7 @@ def main():
     def run(sc, intersector, depth, rr):
         kw = dict(width=width, height=height, spp=spp_timed,
                   spp_chunk=spp_chunk, max_depth=depth, t_min=1e-3,
-                  spawn_eps_rel=1e-4, intersector=intersector,
+                  spawn_eps_rel=1e-5, intersector=intersector,
                   russian_roulette=rr)
         (img, rays), dt = _timed(pt.render_fn, sc, key, **kw)
         return int(rays), dt
@@ -80,7 +80,7 @@ def main():
     # chained as the next slab's t_max). 8 spp keeps the bench short.
     f2scene = sphere_field(163840)
     kw2 = dict(width=width, height=height, spp=8, spp_chunk=1, max_depth=16,
-               t_min=1e-3, spawn_eps_rel=1e-4, intersector="auto",
+               t_min=1e-3, spawn_eps_rel=1e-5, intersector="auto",
                russian_roulette=True)
     (img2, rays_f2), dt_f2 = _timed(pt.render_fn, f2scene, key, **kw2)
     mrays_field2 = int(rays_f2) / dt_f2 / 1e6
@@ -106,7 +106,7 @@ def main():
     # batched intersection throughput" config) at the headline geometry
     s10 = load_scene("data/scene_10.json", aspect_ratio=400 / 225)
     kw10 = dict(width=400, height=225, spp=100, spp_chunk=1, max_depth=16,
-                t_min=1e-3, spawn_eps_rel=1e-4, intersector="pallas",
+                t_min=1e-3, spawn_eps_rel=1e-5, intersector="pallas",
                 russian_roulette=True)
     (_, rays_10), dt_10 = _timed(pt.render_fn, s10, key, **kw10)
     s200 = load_scene("data/scene_200_no_bvh.json",
@@ -149,7 +149,7 @@ def main():
     import gc
     gc.collect()
     kw_sm = dict(width=400, height=400, spp=32, spp_chunk=4, max_depth=16,
-                 t_min=1e-3, spawn_eps_rel=1e-4)
+                 t_min=1e-3, spawn_eps_rel=1e-5)
     (img_sm, _), dt_smoke = _timed(pt.render_fn, cornell_smoke(), key,
                                    **kw_sm)
     (img_cb, _), dt_cb = _timed(pt.render_fn, _cbox(), key, **kw_sm)
@@ -166,7 +166,7 @@ def main():
                max_photon_bounces=16, max_camera_bounces=50,
                grid_res=grid_res, k_per_cell=64, alpha=0.7, k_global=100,
                k_caustic=50, t_min=1e-3, photon_t_min=1e-4,
-               spawn_eps_rel=1e-4, intersector="auto", query_impl="dense")
+               spawn_eps_rel=1e-5, intersector="auto", query_impl="dense")
     st = sppm.init_state(400 * 400)
     st = sppm.sppm_iteration(cscene, st, key, **skw)
     jax.block_until_ready(st.glob.flux)

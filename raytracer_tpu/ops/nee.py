@@ -177,12 +177,20 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
         n_l = jnp.where(is_sph, sph_n, rect_n)
         inv_pdf = jnp.where(is_sph[:, 0], sph_inv_pdf, rect_inv_pdf)
 
-        # offset the shadow origin FIRST, then measure distance from it
-        # (f32 shadow epsilons are relative — Cornell-scale coordinates
-        # have ~0.02 ulps; measuring dist from the un-offset point would
-        # leave the light's own geometry inside the shadow interval)
-        p_sh = p + normal * (1e-4 * scene.scale)
-        to_light = point - p_sh
+        # Contribution geometry (dist/cos/geom) is computed from the TRUE
+        # surface point: measuring it from an offset origin biases the
+        # estimator whenever the offset is comparable to the light
+        # distance. That is not hypothetical — scene.scale is global, so
+        # scene_500's radius-1000 ground sphere makes 1e-4*scale = 0.35,
+        # LARGER than its radius-0.2 resting emitters; the r4 code (which
+        # measured everything from p + 0.35*n, i.e. from above the
+        # lights) lost 32% of the image mean under --nee (ROUND_NOTES
+        # r5). The offset exists only to keep the occlusion ray off the
+        # emitting/receiving surfaces (f32 acne), so it applies to the
+        # intersect origin alone and is clamped to a tenth of the light
+        # distance (Cornell-scale behavior unchanged: there
+        # 1e-4*scale=0.055 << 0.1*dist).
+        to_light = point - p
         dist2 = jnp.maximum(vec.dot(to_light, to_light), 1e-12)
         dist = jnp.sqrt(dist2)
         dir_ = to_light / dist[:, None]
@@ -195,9 +203,14 @@ def direct_light(scene: Scene, key, p, normal, albedo, valid,
                           jnp.abs(vec.dot(n_l, -dir_)))
         geom = cos_p * cos_l / dist2 * inv_pdf
         candidate = valid & (geom > 0.0)
+        eps_sh = jnp.minimum(1e-4 * scene.scale, 0.1 * dist)
+        p_sh = p + normal * eps_sh[:, None]
+        to_sh = point - p_sh
+        dist_sh = jnp.sqrt(jnp.maximum(vec.dot(to_sh, to_sh), 1e-12))
+        dir_sh = to_sh / dist_sh[:, None]
         # shadow rays inherit the shading ray's shutter time so
         # moving occluders are tested where the camera ray saw them
-        hit = intersect_scene(scene, p_sh, dir_, 1e-3, dist * 0.999,
+        hit = intersect_scene(scene, p_sh, dir_sh, 1e-3, dist_sh * 0.999,
                               intersector, time=time,
                               alive=(candidate if alive is None
                                      else candidate & alive))

@@ -59,9 +59,15 @@ class RenderConfig:
     # Self-intersection epsilons. The reference uses absolute 1e-3 (camera,
     # photon_mapper.rs:285) / 1e-4 (photons, photon_mapper.rs:242) in f64;
     # in f32 at Cornell scale (~555 units) we additionally offset spawn
-    # points along the normal by rel_eps * scene_scale.
+    # points along the normal by rel_eps * scene_scale. rel_eps is 1e-5,
+    # NOT 1e-4: scene.scale is global, and at scene_500's scale a 1e-4
+    # offset (0.035) matches its radius-0.045 emitters — spawned bounce
+    # rays land inside/past nearby lights, inflating plain PT +10% and
+    # deflating --nee -25% vs the eps-converged image; 1e-5 agrees with
+    # the 1e-6 render to 0.4% on every checked scene and shows no acne on
+    # Cornell/spheres/fields (ROUND_NOTES r5).
     t_min: float = 1e-3
-    spawn_eps_rel: float = 1e-4
+    spawn_eps_rel: float = 1e-5
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Unbiased Russian-roulette path termination in the path tracer
     # (variance/throughput tradeoff; the reference PT-walk has none)

@@ -195,3 +195,45 @@ def test_nee_moving_emitter_samples_time_correct_position():
     # +6 overhead, so its own body must NOT shadow the connection (the
     # sample point is on the facing hemisphere) — finite positive light
     assert at_t1 > 1e-3
+
+
+@pytest.mark.slow
+def test_nee_close_light_immune_to_global_eps():
+    """The shadow estimator's CONTRIBUTION geometry must come from the true
+    surface point: scene.scale is global, so a huge background primitive
+    (radius-1000 ground) makes 1e-4*scale comparable to small nearby
+    emitters, and the old offset-then-measure form (p + 0.35*n) computed
+    direct light from ABOVE a resting radius-0.2 light — losing ~35% of
+    the near-field direct term (scene_500's --nee image lost 32% of its
+    mean). Pin: NEE with the huge global eps stays within MC noise of the
+    eps-converged plain-PT image."""
+    import jax.numpy as jnp
+    from raytracer_tpu.scene.builder import SceneBuilder
+    from raytracer_tpu.models.path_tracer import trace_radiance
+
+    b = SceneBuilder()
+    ground = b.lambertian(b.constant_texture((0.6, 0.6, 0.6)))
+    b.add_sphere((0, -1000.0, 0), 1000.0, ground)
+    b.add_sphere_light((0, 0.2, 0), 0.2, (4.0, 4.0, 4.0), 1.0)
+    b.set_camera(look_from=(0, 2, 8), look_at=(0, 1, 0), vup=(0, 1, 0),
+                 vfov=40, aspect_ratio=1.0, aperture=0.0, focus_dist=8.0)
+    s = b.compile()
+    n = 120000
+    x = jnp.linspace(0.3, 1.0, n)
+    o = jnp.stack([x, jnp.full((n,), 1.5), jnp.zeros(n)], -1)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (n, 1))
+    key = jax.random.PRNGKey(5)
+    # truth: plain PT with a tiny spawn offset (eps far below the light
+    # radius; PT needs no shadow machinery and converges to the exact
+    # direct term)
+    truth = trace_radiance(s, o, d, key, max_depth=2, t_min=1e-3,
+                           spawn_eps=1e-6 * s.scale,
+                           intersector="auto").radiance
+    # NEE with the huge global offset (1e-4 * scale = 0.35 > the light's
+    # radius): the direct term must still be computed from the true
+    # surface points
+    nee = trace_radiance(s, o, d, key, max_depth=2, t_min=1e-3,
+                         spawn_eps=1e-4 * s.scale, intersector="auto",
+                         nee=True).radiance
+    m_t, m_n = float(truth.mean()), float(nee.mean())
+    assert abs(m_n - m_t) / m_t < 0.15, (m_t, m_n)
